@@ -1,0 +1,171 @@
+"""Fixed-shape, jit-safe detection postprocessing.
+
+Behavioral spec:
+  * v10_postprocess — reference ultralytics/utils/ops.py:851-864 (NMS-free
+    dual-top-k decode of the one-to-one head). Already fixed-shape in the
+    reference; maps 1:1 onto XLA top_k + gathers.
+  * non_max_suppression — reference ultralytics/utils/ops.py:163-304 (batched,
+    class-offset NMS). The reference implementation is data-dependent
+    (variable candidate counts via torchvision.ops.nms); here it is re-designed
+    as a static-shape masked greedy suppressor: candidates are pre-top-k'd to a
+    fixed pool, then a lax.fori_loop performs max_det sequential selections,
+    each suppressing the pool by IoU against the newly selected box. Output is
+    always (B, max_det, 6) with zero rows for missing detections.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .boxes import xywh2xyxy
+
+
+def v10_postprocess(preds: jnp.ndarray, max_det: int = 300, nc: int = 80) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS-free decode for the v10 one-to-one head.
+
+    Args:
+        preds: (B, A, 4 + nc) — xywh boxes and per-class scores (post-sigmoid).
+        max_det: fixed number of output detections.
+        nc: number of classes.
+
+    Returns:
+        boxes (B, max_det, 4), scores (B, max_det), labels (B, max_det) int32.
+    """
+    assert preds.shape[-1] == 4 + nc
+    boxes, scores = preds[..., :4], preds[..., 4:]
+
+    # Stage 1: keep the max_det anchors with the highest per-anchor max score.
+    max_scores = jnp.max(scores, axis=-1)  # (B, A)
+    _, index = jax.lax.top_k(max_scores, max_det)  # (B, max_det)
+    boxes = jnp.take_along_axis(boxes, index[..., None], axis=1)  # (B, max_det, 4)
+    scores = jnp.take_along_axis(scores, index[..., None], axis=1)  # (B, max_det, nc)
+
+    # Stage 2: flattened top-k over (anchor, class) pairs.
+    flat = scores.reshape(scores.shape[0], -1)  # (B, max_det*nc)
+    scores, index = jax.lax.top_k(flat, max_det)  # (B, max_det)
+    labels = index % nc
+    anchor = index // nc
+    boxes = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
+    return boxes, scores, labels.astype(jnp.int32)
+
+
+def v10_detections(preds: jnp.ndarray, max_det: int = 300, nc: int = 80) -> jnp.ndarray:
+    """v10_postprocess packed as (B, max_det, 6) = [x1, y1, x2, y2, score, label].
+
+    Matches the reference predictor's packed layout (models/yolov10/predict.py:8-38,
+    which converts xywh->xyxy via ops.xywh2xyxy before packing).
+    """
+    boxes, scores, labels = v10_postprocess(preds, max_det, nc)
+    boxes = xywh2xyxy(boxes)
+    return jnp.concatenate([boxes, scores[..., None], labels[..., None].astype(boxes.dtype)], axis=-1)
+
+
+def _pairwise_iou_single_vs_pool(box: jnp.ndarray, pool: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """IoU of one xyxy box (4,) against a pool (K, 4) -> (K,)."""
+    lt = jnp.maximum(box[:2], pool[:, :2])
+    rb = jnp.minimum(box[2:], pool[:, 2:])
+    inter = jnp.clip(rb - lt, 0, None).prod(-1)
+    area1 = (box[2] - box[0]) * (box[3] - box[1])
+    area2 = (pool[:, 2] - pool[:, 0]) * (pool[:, 3] - pool[:, 1])
+    return inter / (area1 + area2 - inter + eps)
+
+
+@partial(jax.jit, static_argnames=("max_det", "pre_topk", "multi_label"))
+def non_max_suppression(
+    preds: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 4096,
+    agnostic: bool = False,
+    multi_label: bool = False,
+    max_wh: float = 7680.0,
+) -> jnp.ndarray:
+    """Static-shape batched class-offset NMS.
+
+    Args:
+        preds: (B, A, 4 + nc) — xywh boxes + per-class scores (post-sigmoid),
+            i.e. the transposed v8 head output (reference feeds (B, 4+nc, A)).
+        conf_thres: score gate; rows below it can never be selected.
+        iou_thres: suppression IoU threshold.
+        max_det: fixed output detections per image.
+        pre_topk: candidate pool size kept before suppression (reference
+            max_nms=30000; a smaller static pool is used here — scores are
+            globally sorted first so this only drops the lowest-scoring tail).
+        agnostic: class-agnostic suppression.
+        multi_label: emit one candidate per (anchor, class) above threshold
+            (approximated by class-major flattening before top-k pooling).
+
+    Returns:
+        (B, max_det, 6) = [x1, y1, x2, y2, score, label]; invalid rows are all 0
+        with label -1.
+    """
+    boxes_xywh, scores_all = preds[..., :4], preds[..., 4:]
+    nc = scores_all.shape[-1]
+    boxes_xyxy = xywh2xyxy(boxes_xywh)  # (B, A, 4)
+
+    if multi_label:
+        B, A = scores_all.shape[0], scores_all.shape[1]
+        flat_scores = scores_all.reshape(B, A * nc)  # (B, A*nc) anchor-major
+        k = min(pre_topk, A * nc)
+        scores, flat_idx = jax.lax.top_k(flat_scores, k)
+        labels = (flat_idx % nc).astype(jnp.int32)
+        anchor = flat_idx // nc
+        cand_boxes = jnp.take_along_axis(boxes_xyxy, anchor[..., None], axis=1)
+    else:
+        scores_best = jnp.max(scores_all, axis=-1)  # (B, A)
+        labels_best = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+        k = min(pre_topk, scores_best.shape[-1])
+        scores, anchor = jax.lax.top_k(scores_best, k)
+        labels = jnp.take_along_axis(labels_best, anchor, axis=1)
+        cand_boxes = jnp.take_along_axis(boxes_xyxy, anchor[..., None], axis=1)
+
+    valid = scores > conf_thres  # (B, k)
+    # Class offset trick: boxes of different classes never overlap.
+    offset = jnp.where(agnostic, 0.0, 1.0) * labels.astype(cand_boxes.dtype)[..., None] * max_wh
+    off_boxes = cand_boxes + offset  # (B, k, 4)
+
+    def nms_one(boxes_k, scores_k, valid_k):
+        """Greedy NMS for one image: boxes_k (k,4) offset, scores_k (k,), valid (k,)."""
+        live_scores = jnp.where(valid_k, scores_k, -1.0)
+
+        def body(i, state):
+            live, keep_idx, keep_valid = state
+            j = jnp.argmax(live)
+            ok = live[j] > 0.0
+            keep_idx = keep_idx.at[i].set(jnp.where(ok, j, -1))
+            keep_valid = keep_valid.at[i].set(ok)
+            iou = _pairwise_iou_single_vs_pool(boxes_k[j], boxes_k)
+            suppress = ok & (iou > iou_thres)
+            live = jnp.where(suppress, -1.0, live)
+            live = live.at[j].set(-1.0)  # always consume the selected row
+            return live, keep_idx, keep_valid
+
+        keep_idx = jnp.full((max_det,), -1, dtype=jnp.int32)
+        keep_valid = jnp.zeros((max_det,), dtype=bool)
+        _, keep_idx, keep_valid = jax.lax.fori_loop(
+            0, max_det, body, (live_scores, keep_idx, keep_valid)
+        )
+        return keep_idx, keep_valid
+
+    keep_idx, keep_valid = jax.vmap(nms_one)(off_boxes, scores, valid)  # (B, max_det)
+
+    safe_idx = jnp.clip(keep_idx, 0, None)
+    out_boxes = jnp.take_along_axis(cand_boxes, safe_idx[..., None], axis=1)
+    out_scores = jnp.take_along_axis(scores, safe_idx, axis=1)
+    out_labels = jnp.take_along_axis(labels, safe_idx, axis=1)
+
+    m = keep_valid[..., None]
+    out = jnp.concatenate(
+        [
+            jnp.where(m, out_boxes, 0.0),
+            jnp.where(keep_valid, out_scores, 0.0)[..., None],
+            jnp.where(keep_valid, out_labels, -1)[..., None].astype(out_boxes.dtype),
+        ],
+        axis=-1,
+    )
+    return out
