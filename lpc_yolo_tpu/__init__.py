@@ -3,10 +3,17 @@
 Re-designed from-scratch implementation of the capabilities of the reference
 Ethan6612/LPC-YOLO (an Ultralytics v8.1.34 / THU-MIG YOLOv10 fork with the LPC
 block family). NHWC layouts, static shapes, jit/pjit compute paths throughout.
+
+Public API mirrors the reference package facade (ultralytics/__init__.py):
+    from lpc_yolo_tpu import YOLO
+    YOLO('yolov10n.yaml').predict('image.jpg')
 """
 
 __version__ = "0.1.0"
 
-from . import ops  # noqa: F401
+from . import losses, nn, ops, parallel  # noqa: F401
+from .engine import YOLO, Predictor, Results  # noqa: F401
 
-__all__ = ["ops", "__version__"]
+YOLOv10 = YOLO  # alias matching the reference's YOLOv10 facade
+
+__all__ = ["YOLO", "YOLOv10", "Predictor", "Results", "ops", "nn", "losses", "parallel", "__version__"]

@@ -1,0 +1,133 @@
+"""The `YOLO` facade: one object that loads a model (YAML or torch .pt
+checkpoint) and dispatches train/val/predict/export.
+
+Behavioral spec: reference engine/model.py:17-823 (Model), models/yolov10/
+model.py:10-35 (YOLOv10 + task_map). The facade resolves the model source:
+  * "*.yaml"  -> fresh build via the YAML->graph compiler (random init)
+  * "*.pt"    -> torch checkpoint: architecture rebuilt from the embedded
+                 yaml, weights ported to flax (utils/torch_port.py)
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..nn import build_model
+from ..utils.names import COCO80
+from .predictor import Predictor
+
+_CFG_ROOT = Path(__file__).resolve().parents[1] / "cfg" / "models"
+
+
+def _resolve_yaml(name: str) -> Path:
+    p = Path(name)
+    if p.exists():
+        return p
+    for fam in ("v10", "v8"):
+        cand = _CFG_ROOT / fam / p.name
+        if cand.exists():
+            return cand
+    raise FileNotFoundError(f"model config {name} not found (searched {_CFG_ROOT})")
+
+
+class YOLO:
+    """User-facing model facade (`YOLO('yolov10n.yaml')` / `YOLO('yolov10n.pt')`)."""
+
+    def __init__(self, model: Union[str, Path] = "yolov10n.yaml", task: Optional[str] = None, nc: Optional[int] = None):
+        self.ckpt_path = str(model)
+        self.overrides: Dict[str, Any] = {}
+        self.names = dict(COCO80)
+        if str(model).endswith(".pt"):
+            self._load_checkpoint(str(model), nc=nc)
+        else:
+            yaml_path = _resolve_yaml(str(model))
+            self.model = build_model(yaml_path, nc=nc)
+            self.variables = self.model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True
+            )
+            self.task = task or ("v10" if self._is_v10(yaml_path) else "v8")
+        if self.model.nc != len(self.names):
+            self.names = {i: str(i) for i in range(self.model.nc)}
+
+    @staticmethod
+    def _is_v10(yaml_path: Path) -> bool:
+        return "v10Detect" in Path(yaml_path).read_text()
+
+    def _load_checkpoint(self, path: str, nc: Optional[int] = None):
+        """Load a reference-format torch checkpoint (.pt) and port weights.
+
+        Checkpoint layout per reference trainer.py:479-506: dict with 'model'
+        (the fp16 nn.Module) or 'ema'; model.yaml holds the architecture dict.
+        """
+        import torch
+
+        from ..utils.torch_port import port_state_dict
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        tmodel = ckpt.get("ema") or ckpt["model"] if isinstance(ckpt, dict) else ckpt
+        tmodel = tmodel.float()
+        yaml_dict = dict(tmodel.yaml)
+        if "scale" not in yaml_dict or not yaml_dict.get("scale"):
+            import re
+
+            m = re.search(r"yolov\d+([nsmblx])", Path(path).stem)
+            if m:
+                yaml_dict["scale"] = m.group(1)
+        self.model = build_model(yaml_dict, nc=nc)
+        init_vars = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+        self.variables = port_state_dict(tmodel.state_dict(), init_vars)
+        names = getattr(tmodel, "names", None)
+        if isinstance(names, dict):
+            self.names = {int(k): str(v) for k, v in names.items()}
+        self.task = "v10" if any(s.module == "v10Detect" for s in self.model.specs) else "v8"
+
+    # ------------------------------------------------------------------ modes
+    def predict(
+        self,
+        source,
+        conf: float = 0.25,
+        iou: float = 0.45,
+        imgsz: int = 640,
+        batch: int = 1,
+        max_det: int = 300,
+        stream: bool = False,
+        **kw,
+    ):
+        predictor = Predictor(
+            self.model,
+            self.variables,
+            task=self.task,
+            imgsz=imgsz,
+            batch=batch,
+            conf=conf,
+            iou=iou,
+            max_det=max_det,
+            names=self.names,
+        )
+        return predictor(source, stream=stream)
+
+    def __call__(self, source, **kw):
+        return self.predict(source, **kw)
+
+    def val(self, data: Optional[str] = None, **kw):
+        from .validator import Validator
+
+        v = Validator(self, **kw)
+        return v(data)
+
+    def train(self, **kw):
+        from .trainer import Trainer
+
+        t = Trainer(self, **kw)
+        return t.train()
+
+    @property
+    def n_params(self) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.variables["params"]))

@@ -1,0 +1,191 @@
+"""Prediction result containers — the reference's Results/Boxes API surface
+(engine/results.py:21-523) rebuilt as plain-numpy host objects.
+
+Device arrays never live here: the predictor converts once at the device
+boundary, so downstream user code (plot/save/json/track) is framework-free.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.boxes import EPS  # noqa: F401  (re-export convenience)
+
+
+class Boxes:
+    """Detection boxes: data (N, 6) = [x1, y1, x2, y2, conf, cls] in original
+    image pixels (mirrors engine/results.py:433-522)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: Tuple[int, int]):
+        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 6)
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx) -> "Boxes":
+        return Boxes(self.data[idx], self.orig_shape)
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        return self.data[:, :4]
+
+    @property
+    def conf(self) -> np.ndarray:
+        return self.data[:, 4]
+
+    @property
+    def cls(self) -> np.ndarray:
+        return self.data[:, 5]
+
+    @property
+    def xywh(self) -> np.ndarray:
+        b = self.xyxy
+        return np.concatenate(
+            [(b[:, :2] + b[:, 2:]) / 2, b[:, 2:] - b[:, :2]], axis=-1
+        )
+
+    @property
+    def xyxyn(self) -> np.ndarray:
+        h, w = self.orig_shape
+        return self.xyxy / np.array([w, h, w, h], dtype=np.float32)
+
+    @property
+    def xywhn(self) -> np.ndarray:
+        h, w = self.orig_shape
+        return self.xywh / np.array([w, h, w, h], dtype=np.float32)
+
+    # id column (tracking) is appended as a 7th value when present
+    @property
+    def id(self) -> Optional[np.ndarray]:
+        return self.data[:, 6] if self.data.shape[1] > 6 else None
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+
+class Results:
+    """One image's predictions (mirrors engine/results.py:66-430)."""
+
+    def __init__(
+        self,
+        orig_img: np.ndarray,
+        path: str,
+        names: Dict[int, str],
+        boxes: Optional[np.ndarray] = None,
+        masks: Optional[np.ndarray] = None,
+        probs: Optional[np.ndarray] = None,
+        speed: Optional[Dict[str, float]] = None,
+    ):
+        self.orig_img = orig_img
+        self.orig_shape = orig_img.shape[:2]
+        self.path = path
+        self.names = names
+        self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
+        self.masks = masks
+        self.probs = probs
+        self.speed = speed or {}
+
+    def __len__(self) -> int:
+        return len(self.boxes) if self.boxes is not None else 0
+
+    def __iter__(self) -> Iterator["Results"]:
+        for i in range(len(self)):
+            yield self[i]
+
+    def __getitem__(self, idx) -> "Results":
+        r = Results(self.orig_img, self.path, self.names, speed=self.speed)
+        if self.boxes is not None:
+            r.boxes = self.boxes[idx]
+        return r
+
+    def update(self, boxes: Optional[np.ndarray] = None):
+        if boxes is not None:
+            self.boxes = Boxes(boxes, self.orig_shape)
+        return self
+
+    def plot(
+        self,
+        line_width: Optional[int] = None,
+        font_scale: float = 0.5,
+        conf: bool = True,
+        labels: bool = True,
+        img: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Draw boxes onto (a copy of) the original image; returns BGR ndarray."""
+        import cv2
+
+        im = (img if img is not None else self.orig_img).copy()
+        lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
+        if self.boxes is not None:
+            for row in self.boxes.data:
+                x1, y1, x2, y2, cf, c = row[:6]
+                color = _class_color(int(c))
+                cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
+                if labels:
+                    name = self.names.get(int(c), str(int(c)))
+                    txt = f"{name} {cf:.2f}" if conf else name
+                    cv2.putText(
+                        im, txt, (int(x1), max(int(y1) - 4, 12)),
+                        cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1), cv2.LINE_AA,
+                    )
+        return im
+
+    def save(self, filename: str) -> str:
+        import cv2
+
+        cv2.imwrite(filename, self.plot())
+        return filename
+
+    def to_json(self, normalize: bool = False) -> str:
+        rows = []
+        if self.boxes is not None:
+            h, w = self.orig_shape
+            for row in self.boxes.data:
+                x1, y1, x2, y2, cf, c = row[:6].tolist()
+                if normalize:
+                    x1, x2, y1, y2 = x1 / w, x2 / w, y1 / h, y2 / h
+                rows.append(
+                    {
+                        "name": self.names.get(int(c), str(int(c))),
+                        "class": int(c),
+                        "confidence": round(cf, 5),
+                        "box": {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
+                    }
+                )
+        return json.dumps(rows, indent=2)
+
+    def save_txt(self, txt_file: str, save_conf: bool = False) -> str:
+        lines = []
+        if self.boxes is not None:
+            h, w = self.orig_shape
+            for row in self.boxes.data:
+                x1, y1, x2, y2, cf, c = row[:6]
+                xc, yc = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
+                bw, bh = (x2 - x1) / w, (y2 - y1) / h
+                line = f"{int(c)} {xc:.6f} {yc:.6f} {bw:.6f} {bh:.6f}"
+                if save_conf:
+                    line += f" {cf:.6f}"
+                lines.append(line)
+        Path(txt_file).parent.mkdir(parents=True, exist_ok=True)
+        Path(txt_file).write_text("\n".join(lines) + ("\n" if lines else ""))
+        return txt_file
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+
+def _class_color(c: int) -> Tuple[int, int, int]:
+    """Deterministic per-class BGR color."""
+    rng = np.random.RandomState(c + 3)
+    return tuple(int(v) for v in rng.randint(64, 255, 3))

@@ -1,0 +1,172 @@
+"""Jitted/pjit training step: loss, grads, optimizer, EMA, BN-stat updates.
+
+Behavioral spec: reference engine/trainer.py:362-394 (autocast fwd, backward,
+clipped step), :695-756 (build_optimizer: 3 param groups — BN/no-decay,
+weights/decay, biases/no-decay), torch_utils.py:431-465 (ModelEMA: decay =
+0.9999 * (1 - exp(-updates/2000))), trainer.py:366-375 (linear warmup of lr
+and momentum over warmup_epochs), :252 (one_cycle/linear lf schedule).
+
+TPU-native design: the whole step (fwd + bwd + clip + update + EMA) is ONE
+XLA program. Under a data mesh the batch arrives sharded on 'data' and params
+replicated; the SPMD partitioner inserts the gradient all-reduce over ICI —
+there is no explicit collective in this file. BN runs per-replica statistics,
+which matches DDP semantics (no SyncBN in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..losses import v8_detection_loss, v10_detect_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    ema_updates: jnp.ndarray  # EMA update counter (ModelEMA semantics)
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    """Mirrors the reference's train-hyp keys (cfg/default.yaml)."""
+
+    lr0: float = 0.01
+    lrf: float = 0.01
+    momentum: float = 0.937
+    weight_decay: float = 5e-4
+    warmup_steps: int = 1000  # ~3 epochs in reference terms; expressed in steps
+    warmup_momentum: float = 0.8
+    total_steps: int = 100_000
+    grad_clip: float = 10.0
+    optimizer: str = "sgd"  # 'sgd' | 'adamw'
+    ema_decay: float = 0.9999
+    ema_tau: float = 2000.0
+
+
+def linear_lf(step: jnp.ndarray, cfg: OptConfig) -> jnp.ndarray:
+    """Linear 'one_cycle=False' schedule (trainer.py:250-253): lf goes 1 -> lrf."""
+    frac = jnp.clip(step / max(cfg.total_steps, 1), 0.0, 1.0)
+    return (1.0 - frac) * (1.0 - cfg.lrf) + cfg.lrf
+
+
+def lr_at(step: jnp.ndarray, cfg: OptConfig) -> jnp.ndarray:
+    """Warmup (linear from 0) then the linear decay schedule."""
+    warm = jnp.clip(step / jnp.maximum(cfg.warmup_steps, 1), 0.0, 1.0)
+    return cfg.lr0 * warm * linear_lf(step, cfg)
+
+
+def momentum_at(step: jnp.ndarray, cfg: OptConfig) -> jnp.ndarray:
+    warm = jnp.clip(step / jnp.maximum(cfg.warmup_steps, 1), 0.0, 1.0)
+    return cfg.warmup_momentum + (cfg.momentum - cfg.warmup_momentum) * warm
+
+
+def _decay_mask(params) -> Any:
+    """True for entries that get weight decay: conv/linear kernels only
+    (reference g1 group, trainer.py:714-721; BN scale + all biases excluded)."""
+    flat = jax.tree_util.tree_map_with_path(
+        lambda path, x: any(getattr(k, "key", None) == "kernel" for k in path), params
+    )
+    return flat
+
+
+def make_optimizer(params, cfg: OptConfig) -> optax.GradientTransformation:
+    sched = lambda step: lr_at(step, cfg)
+    if cfg.optimizer == "adamw":
+        base = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(
+                sched, b1=cfg.momentum, b2=0.999, weight_decay=cfg.weight_decay, mask=_decay_mask(params)
+            ),
+        )
+        return base
+    # SGD + nesterov momentum + decoupled weight decay on kernels.
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
+        optax.trace(decay=cfg.momentum, nesterov=True),
+        optax.scale_by_learning_rate(sched),
+    )
+
+
+def init_train_state(model, variables: Dict, cfg: OptConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = make_optimizer(variables["params"], cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        ema_params=jax.tree.map(lambda x: x, variables["params"]),
+        ema_updates=jnp.zeros((), jnp.float32),
+    )
+    return state, tx
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: OptConfig,
+    loss_kind: str = "v10",
+) -> Callable:
+    """Build the jitted train step for a DetectionModel.
+
+    batch = {'img': (B,H,W,3) f32, 'cls': (B,M) i32, 'bboxes': (B,M,4) xyxy px,
+             'mask': (B,M) bool}
+    """
+
+    def loss_fn(params, batch_stats, batch):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["img"],
+            training=True,
+            mutable=["batch_stats"],
+        )
+        if loss_kind == "v10":
+            total, items = v10_detect_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
+            )
+        else:
+            total, items_t = v8_detection_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
+            )
+            total, items = total, jnp.stack(list(items_t))
+        return total, (mut["batch_stats"], items)
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (loss, (new_stats, items)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # ModelEMA (torch_utils.py:431-465): ramped decay, updated every step.
+        n = state.ema_updates + 1.0
+        d = cfg.ema_decay * (1.0 - jnp.exp(-n / cfg.ema_tau))
+        new_ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p, state.ema_params, new_params)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            ema_params=new_ema,
+            ema_updates=n,
+        )
+        metrics = {"loss": loss, "items": items, "lr": lr_at(state.step, cfg)}
+        return new_state, metrics
+
+    return train_step

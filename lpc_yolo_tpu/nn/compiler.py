@@ -1,0 +1,331 @@
+"""YAML -> model-graph compiler and the DetectionModel linen module.
+
+Behavioral spec: reference ultralytics/nn/tasks.py:826-1107 (parse_model,
+yaml_model_load, guess_model_scale) and :260-300 (DetectionModel with stride
+probe). Same YAML schema: `backbone` + `head` lists of
+[from, repeats, module, args], `scales: {letter: [depth, width, max_channels]}`.
+
+TPU-first differences from the reference:
+  * compile-time channel inference produces a static LayerSpec tuple; the
+    linen module's __call__ unrolls it, so the whole graph is one XLA program
+    (the reference interprets an nn.Sequential layer list per call).
+  * strides are probed with jax.eval_shape (zero FLOPs) instead of a real
+    dummy forward.
+  * decode is a pure function appended to the graph under the same jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import yaml
+from flax import linen as nn
+
+from . import modules as M
+from .heads import Detect, V10Detect, decode_feats
+
+# Modules whose YAML arg[0] is the (width-scaled) output-channel count.
+_BASE = {
+    "Conv",
+    "DWConv",
+    "GhostConv",
+    "Focus",
+    "Bottleneck",
+    "SPPF",
+    "C2f",
+    "C3",
+    "PSA",
+    "SCDown",
+    "C2fCIB",
+    "C2f_SPCA",
+    "LPC",
+}
+# Base modules that additionally receive the (depth-scaled) repeat count.
+_REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA"}
+
+_HEADS = {"Detect", "v10Detect"}
+
+
+def make_divisible(x: float, divisor: int = 8) -> int:
+    import math
+
+    return math.ceil(x / divisor) * divisor
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    """One compiled graph node: routing + module + resolved static args."""
+
+    i: int
+    f: Tuple[int, ...]  # 'from' indices (-1 = previous); singleton for unary
+    n: int  # resolved repeat count
+    module: str
+    args: Tuple[Any, ...]  # resolved ctor args (post channel inference)
+    c2: int  # output channels (bookkeeping)
+
+
+def guess_model_scale(path: Union[str, Path]) -> str:
+    m = re.search(r"yolov\d+([nsmblx])", Path(path).stem)
+    return m.group(1) if m else ""
+
+
+def yaml_model_load(path: Union[str, Path]) -> Dict:
+    """Load a model YAML, recording inferred scale (tasks.py:1069-1107)."""
+    path = Path(path)
+    d = yaml.safe_load(path.read_text())
+    d["scale"] = d.get("scale") or guess_model_scale(path)
+    d["yaml_file"] = str(path)
+    return d
+
+
+def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int, ...]]:
+    """Compile the YAML dict into LayerSpecs with resolved channels.
+
+    Mirrors the reference's channel-inference registry (tasks.py:826-1067) for
+    the supported module set; unknown modules raise.
+    """
+    nc = d["nc"]
+    depth, width, max_channels = 1.0, 1.0, float("inf")
+    scales = d.get("scales")
+    if scales:
+        scale = d.get("scale") or tuple(scales.keys())[0]
+        if scale not in scales:
+            scale = tuple(scales.keys())[0]
+        depth, width, max_channels = scales[scale]
+
+    chs: List[int] = [ch]
+    specs: List[LayerSpec] = []
+    save: List[int] = []
+
+    for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
+        args = [nc if a == "nc" else a for a in list(args)]
+        n_res = max(round(n * depth), 1) if n > 1 else n
+        f_list = [f] if isinstance(f, int) else list(f)
+
+        if m in _BASE:
+            c1, c2 = chs[f_list[0]], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            out_args = [c1, c2, *args[1:]]
+            if m in _REPEAT:
+                out_args.insert(2, n_res)
+                n_res = 1
+        elif m == "Concat":
+            c2 = sum(chs[x] for x in f_list)
+            out_args = list(args)
+        elif m in _HEADS:
+            out_args = [*args, tuple(chs[x] for x in f_list)]
+            c2 = chs[f_list[-1]]
+        elif m == "CBAM":
+            # Reference routes CBAM through the attention-registry branch
+            # (tasks.py:1017): args = [c1, *yaml_args] (yaml arg = ratio).
+            c1 = chs[f_list[0]]
+            out_args = [c1, *args]
+            c2 = c1
+        elif m == "SPCA":
+            c1 = chs[f_list[0]]
+            out_args = [c1]
+            c2 = c1
+        elif m == "space_to_depth":
+            c2 = 4 * chs[f_list[0]]
+            out_args = list(args)
+        elif m == "SPDConv":
+            # Sane rule (the reference's own bookkeeping for SPDConv is
+            # inconsistent and unused by any shipped YAML): args = [c2, k],
+            # width-scaled like base modules.
+            c1, c2 = chs[f_list[0]], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            out_args = [c1, c2, *args[1:]]
+        elif m == "nn.Upsample":
+            c2 = chs[f_list[0]]
+            out_args = list(args)
+        else:
+            raise NotImplementedError(f"module '{m}' not supported by the TPU compiler yet (layer {i})")
+
+        specs.append(LayerSpec(i, tuple(f_list), n_res, m, tuple(_hashable(a) for a in out_args), c2))
+        save.extend(x % i for x in f_list if x != -1)
+        if i == 0:
+            chs = []
+        chs.append(c2)
+
+    return tuple(specs), tuple(sorted(set(save)))
+
+
+def _hashable(a):
+    if isinstance(a, list):
+        return tuple(a)
+    return a
+
+
+def _build_module(spec: LayerSpec, dtype, name: str):
+    """Instantiate the linen module for a compiled LayerSpec."""
+    m, a = spec.module, spec.args
+    if m == "Conv":
+        c1, c2 = a[0], a[1]
+        k = a[2] if len(a) > 2 else 1
+        s = a[3] if len(a) > 3 else 1
+        return M.ConvBN(c2, k, s, dtype=dtype, name=name)
+    if m == "DWConv":
+        import math as _math
+
+        c1, c2 = a[0], a[1]
+        k = a[2] if len(a) > 2 else 1
+        s = a[3] if len(a) > 3 else 1
+        return M.ConvBN(c2, k, s, g=_math.gcd(c1, c2), dtype=dtype, name=name)
+    if m == "GhostConv":
+        return M.GhostConv(a[1], a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
+    if m == "Focus":
+        return M.Focus(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
+    if m == "Bottleneck":
+        return M.Bottleneck(a[1], *(a[2:]), dtype=dtype, name=name)
+    if m == "SPPF":
+        return M.SPPF(a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
+    if m == "C2f":
+        return M.C2f(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False, dtype=dtype, name=name)
+    if m == "C3":
+        return M.C3(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
+    if m == "PSA":
+        return M.PSA(a[1], dtype=dtype, name=name)
+    if m == "SCDown":
+        return M.SCDown(a[1], a[2], a[3], dtype=dtype, name=name)
+    if m == "C2fCIB":
+        return M.C2fCIB(
+            a[1],
+            n=a[2],
+            shortcut=a[3] if len(a) > 3 else False,
+            lk=a[4] if len(a) > 4 else False,
+            dtype=dtype,
+            name=name,
+        )
+    if m == "C2f_SPCA":
+        return M.C2fSPCA(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False, dtype=dtype, name=name)
+    if m == "LPC":
+        return M.LPC(a[1], a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
+    if m == "CBAM":
+        return M.CBAM(kernel_size=a[1] if len(a) > 1 else 7, dtype=dtype, name=name)
+    if m == "SPCA":
+        return M.SPCA(dtype=dtype, name=name)
+    if m == "space_to_depth":
+        return M.SpaceToDepth(name=name)
+    if m == "SPDConv":
+        return M.SPDConv(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
+    if m == "nn.Upsample":
+        return M.Upsample(scale=int(a[1]), name=name)
+    if m == "Concat":
+        return M.Concat(name=name)
+    raise NotImplementedError(spec.module)
+
+
+class DetectionModel(nn.Module):
+    """Compiled YOLO graph with 'from'-index routing (tasks.py:83-112 semantics).
+
+    __call__ modes:
+      training=True             -> head raw maps (v10: dict of branches)
+      training=False (default)  -> dict with 'pred' (B, A, 4+nc) decoded
+                                   plus raw branch maps for val-loss use
+      predict_only=True         -> {'pred': ...} only (o2m branch skipped)
+    """
+
+    specs: Tuple[LayerSpec, ...]
+    save: Tuple[int, ...]
+    nc: int
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, predict_only: bool = False):
+        y: Dict[int, jnp.ndarray] = {}
+        for spec in self.specs:
+            name = f"model_{spec.i}"
+            is_last = spec.i == self.specs[-1].i
+
+            if spec.module in _HEADS:
+                xs = [x if j == -1 else y[j] for j in spec.f]
+                if spec.module == "v10Detect":
+                    head = V10Detect(
+                        nc=self.nc,
+                        ch=spec.args[-1],
+                        strides=self.strides,
+                        reg_max=self.reg_max,
+                        dtype=self.dtype,
+                        name=name,
+                    )
+                    branches = "one2one" if (predict_only and not training) else "both"
+                    out = head(xs, training, branches=branches)
+                    if training:
+                        return out
+                    out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
+                    if predict_only:
+                        return {"pred": out["pred"]}
+                    return out
+                else:
+                    head = Detect(
+                        nc=self.nc,
+                        ch=spec.args[-1],
+                        strides=self.strides,
+                        reg_max=self.reg_max,
+                        dtype=self.dtype,
+                        name=name,
+                    )
+                    feats = head(xs, training)
+                    if training:
+                        return feats
+                    pred = decode_feats(feats, self.strides, self.nc, self.reg_max)
+                    if predict_only:
+                        return {"pred": pred}
+                    return {"feats": feats, "pred": pred}
+
+            module = _build_module(spec, self.dtype, name)
+            if spec.module == "Concat":
+                inp = [x if j == -1 else y[j] for j in spec.f]
+            else:
+                inp = x if spec.f[0] == -1 else y[spec.f[0]]
+            x = module(inp, training)
+            if spec.i in self.save:
+                y[spec.i] = x
+        return x  # headless graph (feature extractor)
+
+
+def _infer_strides(model: DetectionModel, ch: int = 3, probe: int = 256) -> Tuple[float, ...]:
+    """Probe output strides with jax.eval_shape (no FLOPs, no params on device).
+
+    Mirrors the reference's dummy-forward stride probe (tasks.py:283-284).
+    """
+    x = jax.ShapeDtypeStruct((1, probe, probe, ch), jnp.float32)
+
+    def init_fn(x):
+        return model.init(jax.random.PRNGKey(0), x, training=True)
+
+    # training=True output: v10 dict of tuples or v8 tuple of feats
+    out = jax.eval_shape(
+        lambda x: model.apply(
+            model.init(jax.random.PRNGKey(0), x, training=True), x, training=True,
+            mutable=["batch_stats"],
+        )[0],
+        x,
+    )
+    feats = out["one2many"] if isinstance(out, dict) else out
+    return tuple(float(probe / f.shape[1]) for f in feats)
+
+
+def build_model(
+    cfg: Union[str, Path, Dict],
+    nc: Optional[int] = None,
+    ch: int = 3,
+    dtype: Any = jnp.float32,
+) -> DetectionModel:
+    """Build a DetectionModel from a YAML path/dict, with strides resolved."""
+    d = yaml_model_load(cfg) if not isinstance(cfg, dict) else dict(cfg)
+    if nc is not None and nc != d.get("nc"):
+        d["nc"] = nc
+    specs, save = parse_model(d, ch=ch)
+    model = DetectionModel(specs=specs, save=save, nc=d["nc"], dtype=dtype)
+    strides = _infer_strides(model, ch=ch)
+    return DetectionModel(specs=specs, save=save, nc=d["nc"], strides=strides, dtype=dtype)

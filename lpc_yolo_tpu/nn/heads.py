@@ -1,0 +1,158 @@
+"""Detection heads: v8 `Detect` and NMS-free `v10Detect`, NHWC linen modules.
+
+Behavioral spec: reference ultralytics/nn/modules/head.py:21-101 (Detect) and
+:497-535 (v10Detect). The torch heads interleave branch compute with anchor
+decode; here the modules emit raw per-level maps (box_logits ++ cls_logits on
+the channel axis) and decoding is a separate pure function (`decode_feats`) so
+the whole inference graph stays functional and jit-composable.
+
+Bias init follows head.py:88-95,527-535: final box conv bias = 1.0; final cls
+conv bias = log(5 / nc / (640 / stride)^2).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.anchors import dfl_expectation, dist2bbox, make_anchors
+from .modules import ConvBN, kaiming_uniform
+
+
+def _cls_bias_init(nc: int, stride: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, math.log(5 / nc / (640 / stride) ** 2), dtype)
+
+    return init
+
+
+def _box_bias_init(key, shape, dtype=jnp.float32):
+    return jnp.ones(shape, dtype)
+
+
+class Detect(nn.Module):
+    """YOLOv8 anchor-free decoupled head. Returns per-level raw maps
+    (B, H, W, 4*reg_max + nc), channel layout [box_dfl(64), cls(nc)]."""
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(xs):
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, training)
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, training)
+            b = nn.Conv(
+                4 * self.reg_max,
+                (1, 1),
+                use_bias=True,
+                kernel_init=kaiming_uniform(),
+                bias_init=_box_bias_init,
+                dtype=self.dtype,
+                name=f"cv2_{i}_2",
+            )(b)
+            c = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, training)
+            c = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, training)
+            c = nn.Conv(
+                self.nc,
+                (1, 1),
+                use_bias=True,
+                kernel_init=kaiming_uniform(),
+                bias_init=_cls_bias_init(self.nc, self.strides[i]),
+                dtype=self.dtype,
+                name=f"cv3_{i}_2",
+            )(c)
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return tuple(outs)
+
+
+class V10Detect(nn.Module):
+    """YOLOv10 dual-assignment head (head.py:497-535): a one-to-many branch
+    (cv2/cv3, v8-style box tower + lightweight cls tower) and a structurally
+    identical one-to-one branch fed with stop_gradient'ed neck features.
+
+    Returns {'one2many': tuple, 'one2one': tuple} of raw (B,H,W,64+nc) maps.
+    Predict-only callers can pass branches='one2one' to skip the o2m compute.
+    """
+
+    nc: int = 80
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False, branches: str = "both"):
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+
+        def branch(xs_in, pbox, pcls):
+            outs = []
+            for i, x in enumerate(xs_in):
+                b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_0")(x, training)
+                b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_1")(b, training)
+                b = nn.Conv(
+                    4 * self.reg_max,
+                    (1, 1),
+                    use_bias=True,
+                    kernel_init=kaiming_uniform(),
+                    bias_init=_box_bias_init,
+                    dtype=self.dtype,
+                    name=f"{pbox}_{i}_2",
+                )(b)
+                # lightweight cls tower: (DW3x3 -> 1x1) x2 -> 1x1 (head.py:503-506)
+                ci = self.ch[i]
+                c = ConvBN(ci, 3, g=ci, dtype=self.dtype, name=f"{pcls}_{i}_0_0")(x, training)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"{pcls}_{i}_0_1")(c, training)
+                c = ConvBN(c3, 3, g=c3, dtype=self.dtype, name=f"{pcls}_{i}_1_0")(c, training)
+                c = ConvBN(c3, 1, dtype=self.dtype, name=f"{pcls}_{i}_1_1")(c, training)
+                c = nn.Conv(
+                    self.nc,
+                    (1, 1),
+                    use_bias=True,
+                    kernel_init=kaiming_uniform(),
+                    bias_init=_cls_bias_init(self.nc, self.strides[i]),
+                    dtype=self.dtype,
+                    name=f"{pcls}_{i}_2",
+                )(c)
+                outs.append(jnp.concatenate([b, c], axis=-1))
+            return tuple(outs)
+
+        out = {}
+        one2one_in = [jax.lax.stop_gradient(x) for x in xs]
+        if branches in ("both", "one2one"):
+            out["one2one"] = branch(one2one_in, "one2one_cv2", "one2one_cv3")
+        if branches in ("both", "one2many"):
+            out["one2many"] = branch(xs, "cv2", "cv3")
+        return out
+
+
+def decode_feats(
+    feats: Sequence[jnp.ndarray],
+    strides: Sequence[float],
+    nc: int,
+    reg_max: int = 16,
+) -> jnp.ndarray:
+    """Decode raw per-level head maps to (B, A, 4+nc) = [xywh_px, sigmoid cls].
+
+    Mirrors Detect.inference (head.py:45-71): DFL expectation -> dist2bbox about
+    static grid anchors -> scale by stride; class logits -> sigmoid.
+    """
+    B = feats[0].shape[0]
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    flat = jnp.concatenate([f.reshape(B, -1, f.shape[-1]) for f in feats], axis=1)  # (B, A, no)
+    box_logits, cls_logits = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5, dtype=jnp.float32)
+    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)
+    dbox = dist2bbox(dist, anchor_points, xywh=True) * stride_tensor
+    return jnp.concatenate([dbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)

@@ -1,0 +1,605 @@
+"""NHWC flax.linen block zoo for the YAML->graph compiler.
+
+Behavioral spec: reference ultralytics/nn/modules/conv.py (Conv/DWConv/Concat),
+block.py (C2f:214, SPPF:156, Bottleneck, RepVGGDW:700, CIB:735, C2fCIB:758,
+Attention:769, PSA:797, SCDown:818, CBAM:2625, space_to_depth:4063,
+SPCA:5725, C2f_SPCA:5752, SPDConv:5777, LPC:5801). Re-designed TPU-first:
+
+  * NHWC activations, HWIO kernels — XLA's native TPU conv layout.
+  * BatchNorm folded into conv at inference by a pure params transform
+    (see fuse.py), so the hot path is conv+SiLU only.
+  * All control flow static; channel arithmetic happens at build time.
+
+Submodule names mirror the reference's attribute paths (cv1, m0, ...) so the
+torch->JAX weight porter is a pure name map.
+
+Activation subtlety (discovered by train-mode parity testing): the fork's
+block.py re-defines `Conv` with a Mish activation at block.py:4914 (inside a
+pasted GSConv section), shadowing conv.py's SiLU Conv for every block class
+defined in block.py (C2f, SPPF, SCDown, CIB, PSA, LPC, ...). YAML-level `Conv`
+layers, conv.py modules (DWConv/Focus/GhostConv) and the head towers keep
+SiLU. The act defaults below reproduce exactly that behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# Matches reference initialize_weights (torch_utils.py:342-352): BN eps=1e-3,
+# momentum=0.03 (flax momentum = 1 - torch momentum).
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.97
+
+KernelInit = Callable[..., jnp.ndarray]
+
+
+def kaiming_uniform() -> KernelInit:
+    """torch Conv2d default init (kaiming_uniform with a=sqrt(5)) for HWIO kernels."""
+
+    def init(key, shape, dtype=jnp.float32):
+        # fan_in = in_channels/groups * kh * kw = prod of all but last dim
+        fan_in = shape[0] * shape[1] * shape[2]
+        bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0) * math.sqrt(2.0 / (1 + 5.0))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def autopad(k: int, p: Optional[int] = None, d: int = 1) -> int:
+    """'same'-style symmetric padding (reference conv.py:27-33)."""
+    if d > 1:
+        k = d * (k - 1) + 1
+    if p is None:
+        p = k // 2
+    return p
+
+
+class ConvBN(nn.Module):
+    """Conv2d(bias=False) + BatchNorm + activation — the reference `Conv` block.
+
+    Symmetric explicit padding (k//2 per side) to match torch semantics; XLA
+    'SAME' pads asymmetrically under stride 2 and would shift feature maps.
+    """
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    p: Optional[int] = None
+    g: int = 1
+    d: int = 1
+    act: Any = "silu"  # 'silu' | 'mish' | True (silu) | False/'none'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        pad = autopad(self.k, self.p, self.d)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            feature_group_count=self.g,
+            kernel_dilation=(self.d, self.d),
+            use_bias=False,
+            kernel_init=kaiming_uniform(),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not training,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        return apply_act(x, self.act)
+
+
+def mish(x):
+    """Mish activation: x * tanh(softplus(x))."""
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def apply_act(x, act):
+    if act in (True, "silu"):
+        return nn.silu(x)
+    if act == "mish":
+        return mish(x)
+    return x
+
+
+class DWConv(ConvBN):
+    """Depthwise conv: groups = gcd(c1, c2); caller sets g at build time."""
+
+
+class Bottleneck(nn.Module):
+    """Standard bottleneck (reference block.py Bottleneck): cv1 kxk -> cv2 kxk (+residual)."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+    act: Any = "mish"  # block.py-defined blocks resolve the fork's Mish Conv
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c_, self.k[0], 1, act=self.act, dtype=self.dtype, name="cv1")(x, training)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, act=self.act, dtype=self.dtype, name="cv2")(y, training)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """CSP bottleneck, 2-conv 'faster' variant (reference block.py:214)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(
+                    ys[-1], training
+                )
+            )
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), training)
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling - fast (reference block.py:156). Three chained
+    stride-1 maxpools; each is a cheap VPU reduce_window on TPU."""
+
+    c2: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = x.shape[-1] // 2
+        x = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        p = self.k // 2
+        pool = lambda t: nn.max_pool(t, (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)])
+        y1 = pool(x)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], axis=-1), training
+        )
+
+
+class SCDown(nn.Module):
+    """Spatial-channel decoupled downsample (reference block.py:818)."""
+
+    c2: int
+    k: int = 3
+    s: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        return ConvBN(self.c2, self.k, self.s, g=self.c2, act=False, dtype=self.dtype, name="cv2")(x, training)
+
+
+class RepVGGDW(nn.Module):
+    """Train-time dual-branch depthwise conv (7x7 + 3x3), fused at deploy
+    (reference block.py:700). Fusion = pad 3x3 kernel to 7x7 and add (fuse.py)."""
+
+    ed: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        a = ConvBN(self.ed, 7, 1, p=3, g=self.ed, act=False, dtype=self.dtype, name="conv")(x, training)
+        b = ConvBN(self.ed, 3, 1, p=1, g=self.ed, act=False, dtype=self.dtype, name="conv1")(x, training)
+        return nn.silu(a + b)
+
+
+class CIB(nn.Module):
+    """Compact inverted block (reference block.py:735)."""
+
+    c2: int
+    shortcut: bool = True
+    e: float = 0.5
+    lk: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = int(self.c2 * self.e)
+        y = ConvBN(c1, 3, g=c1, act="mish", dtype=self.dtype, name="cv1_0")(x, training)
+        y = ConvBN(2 * c_, 1, act="mish", dtype=self.dtype, name="cv1_1")(y, training)
+        if self.lk:
+            y = RepVGGDW(2 * c_, dtype=self.dtype, name="cv1_2")(y, training)
+        else:
+            y = ConvBN(2 * c_, 3, g=2 * c_, act="mish", dtype=self.dtype, name="cv1_2")(y, training)
+        y = ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv1_3")(y, training)
+        y = ConvBN(self.c2, 3, g=self.c2, act="mish", dtype=self.dtype, name="cv1_4")(y, training)
+        if self.shortcut and c1 == self.c2:
+            return x + y
+        return y
+
+
+class C2fCIB(nn.Module):
+    """C2f with CIB bottlenecks (reference block.py:758)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    lk: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                CIB(c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m_{i}")(ys[-1], training)
+            )
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), training)
+
+
+class Attention(nn.Module):
+    """Single-layer spatial self-attention on a feature map (reference block.py:769).
+
+    Runs on <=400 tokens (stride-32 map); QK^T and AV are MXU matmuls.
+    """
+
+    dim: int
+    num_heads: int = 8
+    attn_ratio: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        B, H, W, C = x.shape
+        N = H * W
+        nh = self.num_heads
+        hd = C // nh
+        kd = int(hd * self.attn_ratio)
+        scale = kd**-0.5
+        h_total = C + kd * nh * 2
+
+        qkv = ConvBN(h_total, 1, act=False, dtype=self.dtype, name="qkv")(x, training)
+        qkv = qkv.reshape(B, N, nh, kd * 2 + hd)
+        q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)  # (B,N,nh,kd),(B,N,nh,kd),(B,N,nh,hd)
+
+        attn = jnp.einsum("bind,bjnd->bnij", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bnij,bjnd->bind", attn, v)  # (B,N,nh,hd)
+        out = out.reshape(B, H, W, C)
+        pe = ConvBN(C, 3, 1, g=C, act=False, dtype=self.dtype, name="pe")(v.reshape(B, H, W, C), training)
+        return ConvBN(C, 1, act=False, dtype=self.dtype, name="proj")(out + pe, training)
+
+
+class PSA(nn.Module):
+    """Partial self-attention block (reference block.py:797)."""
+
+    c2: int
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = int(x.shape[-1] * self.e)
+        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        a, b = y[..., :c], y[..., c:]
+        b = b + Attention(c, num_heads=max(c // 64, 1), attn_ratio=0.5, dtype=self.dtype, name="attn")(
+            b, training
+        )
+        f = ConvBN(c * 2, 1, act="mish", dtype=self.dtype, name="ffn_0")(b, training)
+        f = ConvBN(c, 1, act=False, dtype=self.dtype, name="ffn_1")(f, training)
+        b = b + f
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(jnp.concatenate([a, b], axis=-1), training)
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample (torch nn.Upsample(None, 2, 'nearest'))."""
+
+    scale: int = 2
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = jnp.repeat(x, self.scale, axis=1)
+        return jnp.repeat(x, self.scale, axis=2)
+
+
+class Concat(nn.Module):
+    """Channel concat of routed inputs (NHWC: last axis)."""
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
+        return jnp.concatenate(list(xs), axis=-1)
+
+
+class SpaceToDepth(nn.Module):
+    """2x2 space-to-depth, channel order matching the reference's strided-slice
+    concat (block.py:4063-4070): [(h0,w0), (h1,w0), (h0,w1), (h1,w1)]."""
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+
+
+class SPDConv(nn.Module):
+    """space_to_depth + Conv+BN+SiLU (reference block.py:5777)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = SpaceToDepth(name="spd")(x)
+        pad = autopad(self.k)
+        x = nn.Conv(
+            self.c2,
+            (self.k, self.k),
+            strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=False,
+            kernel_init=kaiming_uniform(),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not training, momentum=BN_MOMENTUM, epsilon=BN_EPS, dtype=self.dtype, name="bn"
+        )(x)
+        return nn.silu(x)
+
+
+class SPCA(nn.Module):
+    """Spatial-Pyramid Context Attention (reference block.py:5725): three
+    parallel dilated depthwise 3x3 convs (d=1,2,3) -> 1x1 merge, gated by an
+    SE-style global channel attention, residual add.
+
+    The three depthwise branches share one input; XLA fuses them into a single
+    VPU pass per branch. Raw nn.Conv (with bias on pointwise) mirrors the
+    reference, which uses plain nn.Conv2d here (no BN).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = x.shape[-1]
+        feats = []
+        for i, d in enumerate((1, 2, 3)):
+            feats.append(
+                nn.Conv(
+                    c,
+                    (3, 3),
+                    padding=[(d, d), (d, d)],
+                    kernel_dilation=(d, d),
+                    feature_group_count=c,
+                    use_bias=False,
+                    kernel_init=kaiming_uniform(),
+                    dtype=self.dtype,
+                    name=f"dilated_convs_{i}",
+                )(x)
+            )
+        spatial = nn.Conv(
+            c, (1, 1), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype, name="pointwise"
+        )(jnp.concatenate(feats, axis=-1))
+
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
+        g = nn.Conv(c // 4, (1, 1), use_bias=False, kernel_init=kaiming_uniform(), dtype=self.dtype, name="attention_0")(g)
+        g = nn.relu(g)
+        g = nn.Conv(c, (1, 1), use_bias=False, kernel_init=kaiming_uniform(), dtype=self.dtype, name="attention_2")(g)
+        attn = nn.sigmoid(g)
+        return spatial * attn + x
+
+
+class SPCABottleneck(nn.Module):
+    """cv1 1x1 -> SPCA -> cv3 1x1 (+residual) (reference block.py:5757)."""
+
+    c2: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        y = SPCA(dtype=self.dtype, name="cv2")(y, training)
+        y = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv3")(y, training)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class C2fSPCA(nn.Module):
+    """C2f with SPCA bottlenecks (reference block.py:5752)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(SPCABottleneck(c, self.shortcut, dtype=self.dtype, name=f"m_{i}")(ys[-1], training))
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), training)
+
+
+def channel_shuffle2(x: jnp.ndarray) -> jnp.ndarray:
+    """2-group channel shuffle: out[..., j] = in[..., 2j] for the first half,
+    in[..., 2j+1] for the second (equivalent to the reference LPC's
+    reshape/permute dance, block.py:5817-5826)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W, C // 2, 2).transpose(0, 1, 2, 4, 3).reshape(B, H, W, C)
+
+
+class LPC(nn.Module):
+    """Light Perception Convolution (the fork's core contribution,
+    reference block.py:5801): half-channel conv -> 5x5 depthwise -> concat ->
+    SPCA -> 2-group channel shuffle."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    g: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = self.c2 // 2
+        x1 = ConvBN(c_, self.k, self.s, g=self.g, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        x2 = ConvBN(c_, 5, 1, g=c_, act="mish", dtype=self.dtype, name="cv2")(x1, training)
+        y = jnp.concatenate([x1, x2], axis=-1)
+        y = SPCA(dtype=self.dtype, name="spca")(y, training)
+        return channel_shuffle2(y)
+
+
+class ChannelAttention(nn.Module):
+    """CBAM channel attention, conv.py variant (the one the reference's module
+    registry actually resolves for YAML `CBAM` layers): global avg-pool ->
+    single 1x1 conv (bias) -> sigmoid gate."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = x.shape[-1]
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = nn.Conv(c, (1, 1), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype, name="fc")(g)
+        return x * nn.sigmoid(g)
+
+
+class SpatialAttention(nn.Module):
+    """CBAM spatial attention (reference conv.py SpatialAttention)."""
+
+    kernel_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        p = 3 if self.kernel_size == 7 else 1
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        y = jnp.concatenate([avg, mx], axis=-1)
+        y = nn.Conv(
+            1,
+            (self.kernel_size, self.kernel_size),
+            padding=[(p, p), (p, p)],
+            use_bias=False,
+            kernel_init=kaiming_uniform(),
+            dtype=self.dtype,
+            name="cv1",
+        )(y)
+        return x * nn.sigmoid(y)
+
+
+class CBAM(nn.Module):
+    """Convolutional Block Attention Module (reference conv.py CBAM — the
+    variant wired into parse_model; YAML arg is the spatial kernel size)."""
+
+    kernel_size: int = 7
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = ChannelAttention(dtype=self.dtype, name="channel_attention")(x, training)
+        return SpatialAttention(self.kernel_size, dtype=self.dtype, name="spatial_attention")(x, training)
+
+
+class C3(nn.Module):
+    """CSP bottleneck with 3 convs (reference block.py:240)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, k=(1, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, training)
+        b = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(jnp.concatenate([a, b], axis=-1), training)
+
+
+class Focus(nn.Module):
+    """Focus wh into channels then conv (reference conv.py Focus)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = jnp.concatenate(
+            [x[:, ::2, ::2, :], x[:, 1::2, ::2, :], x[:, ::2, 1::2, :], x[:, 1::2, 1::2, :]],
+            axis=-1,
+        )
+        return ConvBN(self.c2, self.k, self.s, dtype=self.dtype, name="conv")(y, training)
+
+
+class GhostConv(nn.Module):
+    """Ghost convolution (reference conv.py GhostConv)."""
+
+    c2: int
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = self.c2 // 2
+        y = ConvBN(c_, self.k, self.s, dtype=self.dtype, name="cv1")(x, training)
+        y2 = ConvBN(c_, 5, 1, g=c_, dtype=self.dtype, name="cv2")(y, training)
+        return jnp.concatenate([y, y2], axis=-1)
+
+
+class Proto(nn.Module):
+    """YOLOv8 mask prototype head (reference block.py:64)."""
+
+    c_: int = 256
+    c2: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = ConvBN(self.c_, 3, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        x = nn.ConvTranspose(
+            self.c_, (2, 2), strides=(2, 2), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype, name="upsample"
+        )(x)
+        x = ConvBN(self.c_, 3, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(x, training)

@@ -1,15 +1,20 @@
 """Test config: force an 8-device virtual CPU platform so pjit/sharding paths
 are exercised without TPU hardware (mirrors the reference's gap — it had no
 sub-2-GPU distributed tests; XLA's host-device simulation lets us do better).
+
+Gotcha: this environment's axon sitecustomize imports jax at interpreter
+start, so JAX_PLATFORMS in os.environ is already consumed. XLA_FLAGS is read
+lazily at backend init, and jax.config.update('jax_platforms') works any time
+before the first device query — use both, not env vars.
 """
 
 import os
 
-# Must be set before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

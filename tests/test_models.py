@@ -1,0 +1,97 @@
+"""Model-graph tests: YAML compile, param-count parity, forward shapes, and
+(when the reference is mounted) full-forward numerical parity.
+
+Expected parameter counts were measured from the reference torch models
+(tasks.py DetectionModel/YOLOv10DetectionModel), excluding the frozen DFL
+arange conv (16 params) which this framework decodes analytically.
+"""
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lpc_yolo_tpu.nn import build_model
+
+CFG = Path(__file__).resolve().parents[1] / "lpc_yolo_tpu" / "cfg" / "models"
+REF = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REF, "ultralytics"))
+
+# (config path, expected param count from torch reference)
+PARAM_COUNTS = {
+    "v10/yolov10n.yaml": 2_775_504,
+    "v10/yolov10s.yaml": 8_128_256,
+    "v10/yolov10m.yaml": 16_576_752,
+    "v10/yolov10b.yaml": 20_574_368,
+    "v10/yolov10l.yaml": 25_888_672,
+    "v10/yolov10x.yaml": 31_808_944,
+    "v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml": 3_968_338,
+    "v8/yolov8.yaml": 3_157_184,
+}
+
+
+def _n_params(variables):
+    return sum(x.size for x in jax.tree.leaves(variables["params"]))
+
+
+@pytest.mark.parametrize("cfg", sorted(PARAM_COUNTS))
+def test_build_and_param_count(cfg):
+    m = build_model(CFG / cfg)
+    assert m.strides == (8.0, 16.0, 32.0)
+    # Count via eval_shape: no FLOPs, no memory.
+    shapes = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
+    assert n == PARAM_COUNTS[cfg], f"{cfg}: {n} != {PARAM_COUNTS[cfg]}"
+
+
+@pytest.mark.parametrize("cfg", ["v10/yolov10n.yaml", "v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml"])
+def test_forward_shapes(cfg):
+    m = build_model(CFG / cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = jnp.zeros((2, 64, 64, 3))
+    out = m.apply(v, x, training=False)
+    A = (8 * 8 + 4 * 4 + 2 * 2)
+    assert out["pred"].shape == (2, A, 84)
+    train_out, _ = m.apply(v, x, training=True, mutable=["batch_stats"])
+    assert set(train_out) == {"one2many", "one2one"}
+    assert train_out["one2many"][0].shape == (2, 8, 8, 144)
+    po = m.apply(v, x, training=False, predict_only=True)
+    assert set(po) == {"pred"}
+
+
+def test_nc_override():
+    m = build_model(CFG / "v10/yolov10n.yaml", nc=7)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    out = m.apply(v, jnp.zeros((1, 64, 64, 3)), training=False)
+    assert out["pred"].shape[-1] == 4 + 7
+
+
+@pytest.mark.skipif(not HAS_REF, reason="torch reference not mounted")
+@pytest.mark.parametrize("name", ["yolov10n", "yolov10-SPD-Conv-Tiny-CBAM-LPC"])
+def test_forward_parity_vs_reference(name):
+    """Port reference random-init weights, compare decoded output on random input."""
+    from test_ops import _ref_ultralytics
+
+    _ref_ultralytics()
+    import torch
+    from ultralytics.nn.tasks import YOLOv10DetectionModel
+
+    from lpc_yolo_tpu.utils.torch_port import port_state_dict
+
+    ours = f"v10/{name}.yaml"
+    tm = YOLOv10DetectionModel(f"{REF}/ultralytics/cfg/models/v10/{name}.yaml", verbose=False)
+    tm.eval()
+    m = build_model(CFG / ours)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    v2 = port_state_dict(tm.state_dict(), v)
+
+    x = np.random.RandomState(0).rand(1, 3, 160, 160).astype(np.float32)
+    with torch.no_grad():
+        tout = tm(torch.tensor(x))
+    t_pred = tout["one2one"][0].numpy().transpose(0, 2, 1)  # (1, A, 84)
+    j_pred = np.asarray(m.apply(v2, jnp.asarray(x.transpose(0, 2, 3, 1)), training=False)["pred"])
+    np.testing.assert_allclose(j_pred, t_pred, atol=2e-3)
