@@ -1,0 +1,244 @@
+"""Host-side training augmentations producing fixed-shape padded samples.
+
+Behavioral spec: reference ultralytics/data/augment.py — Mosaic-4 (:135),
+RandomPerspective affine (:347), HSV jitter (:584), flips (:627), LetterBox
+(:684), pipeline composer v8_transforms (:973) with default hyp values from
+cfg/default.yaml (hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, degrees=0, translate=0.1,
+scale=0.5, shear=0, perspective=0, flipud=0, fliplr=0.5, mosaic=1.0).
+
+TPU-first contract: every sample leaves this module at a STATIC shape —
+(imgsz, imgsz, 3) uint8 + (max_gt,) cls + (max_gt, 4) pixel-xyxy + mask — so
+batches jit-compile once. Mosaic/affine stay on host (cv2 warp), cheap vs the
+device step; normalization happens on device (ops/letterbox.device_preprocess).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ..ops.letterbox import letterbox_image
+
+DEFAULT_HYP = {
+    "hsv_h": 0.015,
+    "hsv_s": 0.7,
+    "hsv_v": 0.4,
+    "degrees": 0.0,
+    "translate": 0.1,
+    "scale": 0.5,
+    "shear": 0.0,
+    "perspective": 0.0,
+    "flipud": 0.0,
+    "fliplr": 0.5,
+    "mosaic": 1.0,
+    "mixup": 0.0,
+}
+
+
+def xywhn_to_xyxy(bboxes: np.ndarray, w: float, h: float, padw: float = 0, padh: float = 0) -> np.ndarray:
+    out = np.empty_like(bboxes)
+    out[:, 0] = w * (bboxes[:, 0] - bboxes[:, 2] / 2) + padw
+    out[:, 1] = h * (bboxes[:, 1] - bboxes[:, 3] / 2) + padh
+    out[:, 2] = w * (bboxes[:, 0] + bboxes[:, 2] / 2) + padw
+    out[:, 3] = h * (bboxes[:, 1] + bboxes[:, 3] / 2) + padh
+    return out
+
+
+def mosaic4(dataset, idx: int, rng: np.random.RandomState, imgsz: int) -> Dict:
+    """4-image mosaic on a 2x2 canvas of side 2*imgsz (augment.py:160-210)."""
+    import cv2
+
+    s = imgsz
+    yc, xc = (int(rng.uniform(s // 2, 2 * s - s // 2)) for _ in range(2))
+    indices = [idx] + [rng.randint(0, len(dataset)) for _ in range(3)]
+    canvas = np.full((s * 2, s * 2, 3), 114, np.uint8)
+    all_cls, all_boxes = [], []
+    for i, index in enumerate(indices):
+        item = dataset.get_item_raw(index)
+        img = item["img"]
+        h0, w0 = img.shape[:2]
+        r = s / max(h0, w0)
+        if r != 1:
+            img = cv2.resize(img, (int(w0 * r), int(h0 * r)), interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+        if i == 0:  # top-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
+        elif i == 1:  # top-right
+            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
+            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
+        elif i == 2:  # bottom-left
+            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
+        else:  # bottom-right
+            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
+            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
+        canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
+        padw, padh = x1a - x1b, y1a - y1b
+        if len(item["bboxes"]):
+            boxes = xywhn_to_xyxy(item["bboxes"], w, h, padw, padh)
+            all_boxes.append(boxes)
+            all_cls.append(item["cls"])
+    boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.int32)
+    boxes = boxes.clip(0, 2 * s)
+    return {"img": canvas, "cls": cls, "bboxes_xyxy": boxes, "mosaic_border": (-s // 2, -s // 2)}
+
+
+def random_perspective(
+    img: np.ndarray,
+    boxes: np.ndarray,
+    cls: np.ndarray,
+    rng: np.random.RandomState,
+    hyp: Dict,
+    border: Tuple[int, int] = (0, 0),
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Affine warp (rotation/scale/shear/translate) + box transform + candidate
+    filter (augment.py:347-470)."""
+    import cv2
+
+    height = img.shape[0] + border[0] * 2
+    width = img.shape[1] + border[1] * 2
+
+    C = np.eye(3)
+    C[0, 2] = -img.shape[1] / 2
+    C[1, 2] = -img.shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-hyp["perspective"], hyp["perspective"])
+    P[2, 1] = rng.uniform(-hyp["perspective"], hyp["perspective"])
+    R = np.eye(3)
+    a = rng.uniform(-hyp["degrees"], hyp["degrees"])
+    scale = rng.uniform(1 - hyp["scale"], 1 + hyp["scale"])
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=scale)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-hyp["shear"], hyp["shear"]) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-hyp["shear"], hyp["shear"]) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - hyp["translate"], 0.5 + hyp["translate"]) * width
+    T[1, 2] = rng.uniform(0.5 - hyp["translate"], 0.5 + hyp["translate"]) * height
+
+    M = T @ S @ R @ P @ C
+    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
+        if hyp["perspective"]:
+            img = cv2.warpPerspective(img, M, dsize=(width, height), borderValue=(114, 114, 114))
+        else:
+            img = cv2.warpAffine(img, M[:2], dsize=(width, height), borderValue=(114, 114, 114))
+
+    n = len(boxes)
+    if n:
+        xy = np.ones((n * 4, 3))
+        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+        xy = xy @ M.T
+        xy = (xy[:, :2] / xy[:, 2:3] if hyp["perspective"] else xy[:, :2]).reshape(n, 8)
+        x, y = xy[:, [0, 2, 4, 6]], xy[:, [1, 3, 5, 7]]
+        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        # candidate filter (augment.py box_candidates): wh>2px, ar<100, area ratio>0.1
+        w1, h1 = boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
+        w2, h2 = new[:, 2] - new[:, 0], new[:, 3] - new[:, 1]
+        ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+        keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * scale**2 + 1e-16) > 0.1) & (ar < 100)
+        boxes, cls = new[keep], cls[keep]
+    return img, boxes, cls
+
+
+def augment_hsv(img: np.ndarray, rng: np.random.RandomState, hgain: float, sgain: float, vgain: float) -> np.ndarray:
+    """HSV color jitter in place (augment.py:584-607)."""
+    import cv2
+
+    if hgain or sgain or vgain:
+        r = rng.uniform(-1, 1, 3) * [hgain, sgain, vgain] + 1
+        hue, sat, val = cv2.split(cv2.cvtColor(img, cv2.COLOR_BGR2HSV))
+        x = np.arange(0, 256, dtype=r.dtype)
+        lut_hue = ((x * r[0]) % 180).astype(np.uint8)
+        lut_sat = np.clip(x * r[1], 0, 255).astype(np.uint8)
+        lut_val = np.clip(x * r[2], 0, 255).astype(np.uint8)
+        img_hsv = cv2.merge((cv2.LUT(hue, lut_hue), cv2.LUT(sat, lut_sat), cv2.LUT(val, lut_val)))
+        cv2.cvtColor(img_hsv, cv2.COLOR_HSV2BGR, dst=img)
+    return img
+
+
+class TrainTransforms:
+    """Mosaic + affine + HSV + flip -> fixed (imgsz, imgsz) sample (v8_transforms)."""
+
+    def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 128):
+        self.imgsz = imgsz
+        self.hyp = {**DEFAULT_HYP, **(hyp or {})}
+        self.max_gt = max_gt
+        self.mosaic_enabled = True
+
+    def close_mosaic(self):
+        """Disable mosaic for the final epochs (trainer.py:354-356)."""
+        self.mosaic_enabled = False
+
+    def __call__(self, dataset, idx: int, rng: np.random.RandomState) -> Dict:
+        hyp = self.hyp
+        use_mosaic = self.mosaic_enabled and rng.rand() < hyp["mosaic"]
+        if use_mosaic:
+            m = mosaic4(dataset, idx, rng, self.imgsz)
+            img, boxes, cls = m["img"], m["bboxes_xyxy"], m["cls"]
+            border = m["mosaic_border"]
+        else:
+            item = dataset.get_item_raw(idx)
+            img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
+            h0, w0 = item["img"].shape[:2]
+            boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
+            cls = item["cls"]
+            border = (0, 0)
+        img = np.ascontiguousarray(img)
+        img, boxes, cls = random_perspective(img, boxes, cls, rng, hyp, border)
+        img = augment_hsv(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
+        if rng.rand() < hyp["flipud"]:
+            img = np.flipud(img)
+            boxes[:, [1, 3]] = img.shape[0] - boxes[:, [3, 1]]
+        if rng.rand() < hyp["fliplr"]:
+            img = np.fliplr(img)
+            boxes[:, [0, 2]] = img.shape[1] - boxes[:, [2, 0]]
+        img = np.ascontiguousarray(img)
+
+        # pad/truncate to static max_gt
+        M = self.max_gt
+        n = min(len(boxes), M)
+        out_boxes = np.zeros((M, 4), np.float32)
+        out_cls = np.zeros((M,), np.int32)
+        mask = np.zeros((M,), bool)
+        out_boxes[:n] = boxes[:n]
+        out_cls[:n] = cls[:n]
+        mask[:n] = True
+        return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask}
+
+
+class ValTransforms:
+    """Letterbox-only path for validation; keeps letterbox geometry for unscaling."""
+
+    def __init__(self, imgsz: int = 640, max_gt: int = 128):
+        self.imgsz = imgsz
+        self.max_gt = max_gt
+
+    def __call__(self, dataset, idx: int, rng=None) -> Dict:
+        item = dataset.get_item_raw(idx)
+        img0 = item["img"]
+        h0, w0 = img0.shape[:2]
+        img, gain, pad = letterbox_image(img0, (self.imgsz, self.imgsz), scaleup=False)
+        boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
+        M = self.max_gt
+        n = min(len(boxes), M)
+        out_boxes = np.zeros((M, 4), np.float32)
+        out_cls = np.zeros((M,), np.int32)
+        mask = np.zeros((M,), bool)
+        out_boxes[:n] = boxes[:n]
+        out_cls[:n] = item["cls"][:n]
+        mask[:n] = True
+        return {
+            "img": np.ascontiguousarray(img),
+            "cls": out_cls,
+            "bboxes": out_boxes,
+            "mask": mask,
+            "orig_shape": (h0, w0),
+            "gain": gain,
+            "pad": pad,
+            "path": item["path"],
+        }

@@ -1,0 +1,145 @@
+"""YOLO-format detection dataset: image scan, label parse, npz label cache.
+
+Behavioral spec: reference ultralytics/data/base.py:21-311 (BaseDataset scan +
+cache) and data/dataset.py:23-227 (YOLODataset label loading, cache with hash
+invalidation), data/utils.py:251-344 (dataset YAML parsing).
+
+Layout (identical to the reference's):
+    <root>/images/<split>/*.jpg
+    <root>/labels/<split>/*.txt   # rows: cls cx cy w h  (normalized xywh)
+    data.yaml: {path, train, val, names, nc}
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import yaml
+
+IMG_SUFFIXES = {".bmp", ".dng", ".jpeg", ".jpg", ".mpo", ".png", ".tif", ".tiff", ".webp"}
+
+
+def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
+    """Parse a dataset YAML into {path, train, val, names, nc} (data/utils.py:251)."""
+    if isinstance(data, dict):
+        d = dict(data)
+    else:
+        d = yaml.safe_load(Path(data).read_text())
+        d.setdefault("path", str(Path(data).parent))
+    root = Path(d.get("path", "."))
+    if not root.is_absolute() and not isinstance(data, dict):
+        root = Path(data).parent / root
+    out = {"path": str(root)}
+    for split in ("train", "val", "test"):
+        if d.get(split):
+            p = Path(d[split])
+            out[split] = str(p if p.is_absolute() else root / p)
+    names = d.get("names")
+    if isinstance(names, list):
+        names = dict(enumerate(names))
+    out["names"] = {int(k): str(v) for k, v in (names or {}).items()}
+    out["nc"] = int(d.get("nc", len(out["names"])))
+    if not out["names"]:
+        out["names"] = {i: str(i) for i in range(out["nc"])}
+    return out
+
+
+def img2label_path(img_path: str) -> str:
+    """images/... -> labels/... with .txt (data/utils.py img2label_paths)."""
+    sa, sb = f"{os.sep}images{os.sep}", f"{os.sep}labels{os.sep}"
+    return sb.join(img_path.rsplit(sa, 1)).rsplit(".", 1)[0] + ".txt"
+
+
+class YOLODataset:
+    """Detection dataset over YOLO-format image/label folders."""
+
+    def __init__(
+        self,
+        img_path: Union[str, Path],
+        imgsz: int = 640,
+        augment: bool = False,
+        hyp: Optional[Dict] = None,
+        cache: bool = True,
+        names: Optional[Dict[int, str]] = None,
+    ):
+        self.img_path = str(img_path)
+        self.imgsz = imgsz
+        self.augment = augment
+        self.hyp = hyp or {}
+        self.names = names or {}
+        self.im_files = self._scan_images()
+        self.label_files = [img2label_path(f) for f in self.im_files]
+        self.labels = self._load_labels(cache)
+
+    def _scan_images(self) -> List[str]:
+        p = Path(self.img_path)
+        if p.is_dir():
+            files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_SUFFIXES)
+        elif p.is_file() and p.suffix == ".txt":  # file listing image paths
+            files = [l.strip() for l in p.read_text().splitlines() if l.strip()]
+        else:
+            raise FileNotFoundError(f"dataset path {p} not found")
+        if not files:
+            raise FileNotFoundError(f"no images found in {p}")
+        return files
+
+    def _cache_path(self) -> Path:
+        return Path(self.img_path).with_suffix(".labels.npz")
+
+    def _hash(self) -> str:
+        h = hashlib.sha1()
+        for f in self.im_files + self.label_files:
+            h.update(f.encode())
+            try:
+                h.update(str(os.path.getmtime(f)).encode())
+            except OSError:
+                pass
+        return h.hexdigest()
+
+    def _load_labels(self, cache: bool) -> List[Dict]:
+        cpath, key = self._cache_path(), self._hash()
+        if cache and cpath.exists():
+            try:
+                z = np.load(cpath, allow_pickle=True)
+                if str(z["hash"]) == key:
+                    return list(z["labels"])
+            except Exception:
+                pass
+        labels = []
+        for lf in self.label_files:
+            if os.path.exists(lf):
+                rows = [l.split() for l in Path(lf).read_text().splitlines() if l.strip()]
+                arr = np.array(rows, dtype=np.float32).reshape(-1, 5)
+            else:
+                arr = np.zeros((0, 5), np.float32)
+            labels.append({"cls": arr[:, 0].astype(np.int32), "bboxes": arr[:, 1:5]})
+        if cache:
+            try:
+                np.savez_compressed(cpath, hash=key, labels=np.array(labels, dtype=object))
+            except OSError:
+                pass
+        return labels
+
+    def __len__(self) -> int:
+        return len(self.im_files)
+
+    def load_image(self, i: int) -> np.ndarray:
+        import cv2
+
+        im = cv2.imread(self.im_files[i])
+        if im is None:
+            raise FileNotFoundError(self.im_files[i])
+        return im
+
+    def get_item_raw(self, i: int) -> Dict:
+        """One un-augmented sample: BGR image + normalized xywh labels."""
+        return {
+            "img": self.load_image(i),
+            "cls": self.labels[i]["cls"].copy(),
+            "bboxes": self.labels[i]["bboxes"].copy(),
+            "path": self.im_files[i],
+        }

@@ -1,0 +1,138 @@
+"""Model export: StableHLO / TF SavedModel / TFLite (+int8) from the jitted
+predict graph.
+
+Behavioral spec: reference engine/exporter.py:93-900 (export_formats table,
+NMS-free v10 trace with fixed max_det output (B, max_det, 6), INT8
+calibration). TPU-native export path: jax.export (StableHLO bytes — the
+portable XLA artifact) and jax2tf -> SavedModel -> TFLiteConverter; formats
+whose toolchains aren't in this environment (ONNX/TensorRT/CoreML/NCNN/...)
+raise with instructions rather than silently degrade.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+EXPORT_FORMATS = {
+    "ckpt": "flax msgpack checkpoint (native)",
+    "stablehlo": "StableHLO serialized module (jax.export)",
+    "saved_model": "TensorFlow SavedModel (jax2tf)",
+    "tflite": "TFLite flatbuffer (jax2tf + TFLiteConverter)",
+    "tflite-int8": "TFLite int8 full-integer quantization",
+}
+UNSUPPORTED = {
+    "onnx": "onnx/tf2onnx not available in this environment",
+    "engine": "TensorRT targets NVIDIA GPUs; use stablehlo/tflite for TPU-adjacent deploys",
+    "coreml": "coremltools not available",
+    "paddle": "paddle toolchain not available",
+    "ncnn": "ncnn toolchain not available",
+    "edgetpu": "edgetpu_compiler not available",
+    "tfjs": "tensorflowjs not available",
+}
+
+
+def _predict_fn(model, variables, max_det: int = 300) -> Callable:
+    """The exported computation: fp32 NHWC [B,H,W,3] in [0,1] -> (B, max_det, 6).
+
+    Mirrors the reference's export trace (head.py:519-523: NMS-free fixed-size
+    decode with Detect.export semantics).
+    """
+    from ..ops.postprocess import v10_detections
+
+    def fn(img):
+        pred = model.apply(variables, img, training=False, predict_only=True)["pred"]
+        return v10_detections(pred, max_det, model.nc)
+
+    return fn
+
+
+def export_model(
+    yolo,
+    fmt: str = "tflite",
+    imgsz: int = 640,
+    batch: int = 1,
+    out_dir: Optional[str] = None,
+    int8_calibration: Optional[np.ndarray] = None,
+    max_det: int = 300,
+) -> str:
+    """Export the facade's model; returns the artifact path."""
+    fmt = str(fmt).lower().replace("int8", "tflite-int8") if fmt == "int8" else str(fmt).lower()
+    if fmt in UNSUPPORTED:
+        raise NotImplementedError(f"export format '{fmt}': {UNSUPPORTED[fmt]}")
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"unknown export format '{fmt}'; choose from {list(EXPORT_FORMATS)}")
+
+    out_dir = Path(out_dir or "runs/export")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stem = Path(str(yolo.ckpt_path)).stem
+    fn = _predict_fn(yolo.model, yolo.variables, max_det=max_det)
+    in_shape = (batch, imgsz, imgsz, 3)
+
+    if fmt == "ckpt":
+        from ..utils.checkpoint import save_checkpoint
+
+        path = out_dir / f"{stem}.ckpt"
+        save_checkpoint(path, yolo.variables, {"imgsz": imgsz, "nc": yolo.model.nc})
+        return str(path)
+
+    if fmt == "stablehlo":
+        from jax import export as jexport
+
+        exp = jexport.export(jax.jit(fn))(jax.ShapeDtypeStruct(in_shape, jnp.float32))
+        path = out_dir / f"{stem}.stablehlo"
+        path.write_bytes(exp.serialize())
+        (out_dir / f"{stem}.stablehlo.json").write_text(
+            json.dumps({"input": list(in_shape), "output": [batch, max_det, 6], "nc": yolo.model.nc})
+        )
+        return str(path)
+
+    # TF-family formats
+    import tensorflow as tf
+    from jax.experimental import jax2tf
+
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False),
+        input_signature=[tf.TensorSpec(in_shape, tf.float32, name="images")],
+        autograph=False,
+    )
+    module = tf.Module()
+    module.f = tf_fn
+    sm_path = out_dir / f"{stem}_saved_model"
+    tf.saved_model.save(module, str(sm_path), signatures={"serving_default": tf_fn})
+    if fmt == "saved_model":
+        return str(sm_path)
+
+    converter = tf.lite.TFLiteConverter.from_saved_model(str(sm_path))
+    converter.target_spec.supported_ops = [
+        tf.lite.OpsSet.TFLITE_BUILTINS,
+        tf.lite.OpsSet.SELECT_TF_OPS,
+    ]
+    if fmt == "tflite-int8":
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
+        calib = int8_calibration if int8_calibration is not None else np.random.rand(8, *in_shape[1:]).astype(np.float32)
+
+        def rep_data():
+            for row in calib:
+                yield [row[None]]
+
+        converter.representative_dataset = rep_data
+    blob = converter.convert()
+    path = out_dir / (f"{stem}_int8.tflite" if fmt == "tflite-int8" else f"{stem}.tflite")
+    path.write_bytes(blob)
+    return str(path)
+
+
+def load_stablehlo(path: str):
+    """Re-hydrate a serialized StableHLO module into a callable (deserialized
+    jax.export artifact — the native-runtime consumption path)."""
+    from jax import export as jexport
+
+    exp = jexport.deserialize(Path(path).read_bytes())
+    return exp.call

@@ -26,6 +26,15 @@ from .predictor import Predictor
 _CFG_ROOT = Path(__file__).resolve().parents[1] / "cfg" / "models"
 
 
+def _jit_init(model):
+    """Initialize under jit: one compiled program instead of thousands of
+    eagerly-dispatched ops (critical over the tunneled TPU, where per-op
+    dispatch latency makes unjitted init take minutes)."""
+    return jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    )()
+
+
 def _resolve_yaml(name: str) -> Path:
     p = Path(name)
     if p.exists():
@@ -49,9 +58,7 @@ class YOLO:
         else:
             yaml_path = _resolve_yaml(str(model))
             self.model = build_model(yaml_path, nc=nc)
-            self.variables = self.model.init(
-                jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True
-            )
+            self.variables = _jit_init(self.model)
             self.task = task or ("v10" if self._is_v10(yaml_path) else "v8")
         if self.model.nc != len(self.names):
             self.names = {i: str(i) for i in range(self.model.nc)}
@@ -81,7 +88,7 @@ class YOLO:
             if m:
                 yaml_dict["scale"] = m.group(1)
         self.model = build_model(yaml_dict, nc=nc)
-        init_vars = self.model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+        init_vars = _jit_init(self.model)
         self.variables = port_state_dict(tmodel.state_dict(), init_vars)
         names = getattr(tmodel, "names", None)
         if isinstance(names, dict):
@@ -115,6 +122,22 @@ class YOLO:
 
     def __call__(self, source, **kw):
         return self.predict(source, **kw)
+
+    def track(
+        self,
+        source,
+        tracker: str = "bytetrack.yaml",
+        conf: float = 0.1,
+        stream: bool = False,
+        persist: bool = False,
+        **kw,
+    ):
+        """Streaming tracking (engine/model.py:443-482: conf>=0.1, batch=1)."""
+        from ..trackers.track import track_stream
+
+        results = self.predict(source, conf=conf, batch=1, stream=True, **kw)
+        gen = track_stream(results, tracker_cfg=tracker, persist=persist)
+        return gen if stream else list(gen)
 
     def val(self, data: Optional[str] = None, **kw):
         from .validator import Validator

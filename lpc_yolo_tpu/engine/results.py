@@ -17,11 +17,15 @@ from ..ops.boxes import EPS  # noqa: F401  (re-export convenience)
 
 
 class Boxes:
-    """Detection boxes: data (N, 6) = [x1, y1, x2, y2, conf, cls] in original
-    image pixels (mirrors engine/results.py:433-522)."""
+    """Detection boxes (N, 6) = [x1, y1, x2, y2, conf, cls], or (N, 7) with a
+    track id inserted at column 4 (mirrors engine/results.py:433-522)."""
 
     def __init__(self, data: np.ndarray, orig_shape: Tuple[int, int]):
-        self.data = np.asarray(data, dtype=np.float32).reshape(-1, 6)
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 1:
+            data = data.reshape(-1, 6) if data.size % 7 else data.reshape(-1, 7)
+        assert data.shape[-1] in (6, 7), f"expected 6 or 7 box columns, got {data.shape}"
+        self.data = data
         self.orig_shape = orig_shape
 
     def __len__(self) -> int:
@@ -36,11 +40,11 @@ class Boxes:
 
     @property
     def conf(self) -> np.ndarray:
-        return self.data[:, 4]
+        return self.data[:, -2]
 
     @property
     def cls(self) -> np.ndarray:
-        return self.data[:, 5]
+        return self.data[:, -1]
 
     @property
     def xywh(self) -> np.ndarray:
@@ -59,10 +63,10 @@ class Boxes:
         h, w = self.orig_shape
         return self.xywh / np.array([w, h, w, h], dtype=np.float32)
 
-    # id column (tracking) is appended as a 7th value when present
+    # track id column sits at index 4 when present (7-column layout)
     @property
     def id(self) -> Optional[np.ndarray]:
-        return self.data[:, 6] if self.data.shape[1] > 6 else None
+        return self.data[:, 4] if self.data.shape[1] == 7 else None
 
     def cpu(self):
         return self
@@ -125,12 +129,16 @@ class Results:
         im = (img if img is not None else self.orig_img).copy()
         lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
         if self.boxes is not None:
-            for row in self.boxes.data:
-                x1, y1, x2, y2, cf, c = row[:6]
+            ids = self.boxes.id
+            for i, row in enumerate(self.boxes.data):
+                x1, y1, x2, y2 = row[:4]
+                cf, c = row[-2], row[-1]
                 color = _class_color(int(c))
                 cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
                 if labels:
                     name = self.names.get(int(c), str(int(c)))
+                    if ids is not None:
+                        name = f"id:{int(ids[i])} {name}"
                     txt = f"{name} {cf:.2f}" if conf else name
                     cv2.putText(
                         im, txt, (int(x1), max(int(y1) - 4, 12)),
@@ -149,7 +157,8 @@ class Results:
         if self.boxes is not None:
             h, w = self.orig_shape
             for row in self.boxes.data:
-                x1, y1, x2, y2, cf, c = row[:6].tolist()
+                x1, y1, x2, y2 = row[:4].tolist()
+                cf, c = float(row[-2]), float(row[-1])
                 if normalize:
                     x1, x2, y1, y2 = x1 / w, x2 / w, y1 / h, y2 / h
                 rows.append(
@@ -167,7 +176,8 @@ class Results:
         if self.boxes is not None:
             h, w = self.orig_shape
             for row in self.boxes.data:
-                x1, y1, x2, y2, cf, c = row[:6]
+                x1, y1, x2, y2 = row[:4]
+                cf, c = row[-2], row[-1]
                 xc, yc = (x1 + x2) / 2 / w, (y1 + y2) / 2 / h
                 bw, bh = (x2 - x1) / w, (y2 - y1) / h
                 line = f"{int(c)} {xc:.6f} {yc:.6f} {bw:.6f} {bh:.6f}"

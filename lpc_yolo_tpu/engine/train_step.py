@@ -128,9 +128,14 @@ def make_train_step(
     """
 
     def loss_fn(params, batch_stats, batch):
+        img = batch["img"]
+        if img.dtype == jnp.uint8:
+            # uint8 BGR from the loader: normalize + BGR->RGB on device, matching
+            # the reference's Format transform (augment.py:876) + /255 preprocess.
+            img = img.astype(jnp.float32)[..., ::-1] / 255.0
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["img"],
+            img,
             training=True,
             mutable=["batch_stats"],
         )

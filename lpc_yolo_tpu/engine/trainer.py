@@ -1,0 +1,211 @@
+"""Trainer: the epoch loop around the jitted train step.
+
+Behavioral spec: reference engine/trainer.py:178-685 (BaseTrainer): dataset
+build, warmup LR, per-epoch val on EMA weights, best/last checkpointing, CSV
+metrics log, mosaic close in the final epochs, early stopping, resume.
+
+TPU-native design: one jitted train step (fwd+bwd+update+EMA, see
+train_step.py) over a data mesh; the host loop only feeds uint8 batches and
+logs. DDP's subprocess re-exec + NCCL process groups (utils/dist.py in the
+reference) are replaced by mesh sharding — the same code runs on 1 chip or a
+pod slice.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import DataLoader, TrainTransforms, YOLODataset, check_det_dataset
+from ..ops.letterbox import device_preprocess
+from ..parallel import data_parallel_mesh, replicate, shard_batch
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from .train_step import OptConfig, TrainState, init_train_state, make_train_step
+from .validator import Validator
+
+LOSS_NAMES = ["box_om", "cls_om", "dfl_om", "box_oo", "cls_oo", "dfl_oo"]
+
+
+class EarlyStopping:
+    """Stop when fitness hasn't improved for `patience` epochs (torch_utils.py:568)."""
+
+    def __init__(self, patience: int = 50):
+        self.patience = patience or float("inf")
+        self.best_fitness = 0.0
+        self.best_epoch = 0
+
+    def __call__(self, epoch: int, fitness: float) -> bool:
+        if fitness >= self.best_fitness:
+            self.best_fitness = fitness
+            self.best_epoch = epoch
+        return (epoch - self.best_epoch) >= self.patience
+
+
+class Trainer:
+    def __init__(
+        self,
+        yolo,
+        data: str,
+        epochs: int = 100,
+        batch: int = 16,
+        imgsz: int = 640,
+        lr0: float = 0.01,
+        lrf: float = 0.01,
+        momentum: float = 0.937,
+        weight_decay: float = 5e-4,
+        warmup_epochs: float = 3.0,
+        optimizer: str = "auto",
+        workers: int = 8,
+        max_gt: int = 128,
+        close_mosaic: int = 10,
+        val: bool = True,
+        save_dir: str = "runs/detect/train",
+        patience: int = 50,
+        seed: int = 0,
+        resume: bool = False,
+        hyp: Optional[Dict] = None,
+        **_: Any,
+    ):
+        self.yolo = yolo
+        self.data = data
+        self.epochs = epochs
+        self.batch = batch
+        self.imgsz = imgsz
+        self.workers = workers
+        self.max_gt = max_gt
+        self.close_mosaic = close_mosaic
+        self.do_val = val
+        self.save_dir = Path(save_dir)
+        self.seed = seed
+        self.resume = resume
+        self.hyp = hyp or {}
+        self.patience = patience
+        self._opt_kw = dict(
+            lr0=lr0, lrf=lrf, momentum=momentum, weight_decay=weight_decay,
+            warmup_epochs=warmup_epochs, optimizer=optimizer,
+        )
+
+    def train(self) -> Dict[str, float]:
+        info = check_det_dataset(self.data)
+        nc = info["nc"]
+        model = self.yolo.model
+        if model.nc != nc:
+            raise ValueError(
+                f"model nc={model.nc} != dataset nc={nc}; build the model with YOLO(cfg, nc={nc})"
+            )
+
+        dataset = YOLODataset(info["train"], imgsz=self.imgsz, augment=True, names=info["names"])
+        transforms = TrainTransforms(self.imgsz, self.hyp, self.max_gt)
+        loader = DataLoader(
+            dataset, transforms, batch_size=self.batch, shuffle=True,
+            workers=self.workers, seed=self.seed, infinite=True,
+        )
+        steps_per_epoch = max(len(loader), 1)
+        total_steps = steps_per_epoch * self.epochs
+
+        opt_name = self._opt_kw["optimizer"]
+        if opt_name == "auto":
+            # reference build_optimizer: AdamW for short runs, SGD otherwise
+            opt_name = "adamw" if total_steps <= 10000 and nc <= 20 else "sgd"
+            lr0 = 0.002 if opt_name == "adamw" else self._opt_kw["lr0"]
+        else:
+            lr0 = self._opt_kw["lr0"]
+        cfg = OptConfig(
+            lr0=lr0,
+            lrf=self._opt_kw["lrf"],
+            momentum=self._opt_kw["momentum"] if opt_name == "sgd" else 0.9,
+            weight_decay=self._opt_kw["weight_decay"],
+            warmup_steps=max(int(self._opt_kw["warmup_epochs"] * steps_per_epoch), 100),
+            total_steps=total_steps,
+            optimizer=opt_name,
+        )
+
+        variables = self.yolo.variables
+        state, tx = init_train_state(model, variables, cfg)
+        start_epoch = 0
+        ckpt_last = self.save_dir / "weights" / "last.ckpt"
+        ckpt_best = self.save_dir / "weights" / "best.ckpt"
+        if self.resume and ckpt_last.exists():
+            state, meta = load_checkpoint(ckpt_last, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+
+        loss_kind = "v10" if any(s.module == "v10Detect" for s in model.specs) else "v8"
+        train_step = make_train_step(model, tx, cfg, loss_kind=loss_kind)
+
+        mesh = data_parallel_mesh(batch_size=self.batch)
+        state = replicate(state, mesh)
+
+        stopper = EarlyStopping(self.patience)
+        best_fitness = 0.0
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        csv_path = self.save_dir / "results.csv"
+        validator = Validator(
+            self.yolo, imgsz=self.imgsz, batch=min(self.batch, 8), max_gt=self.max_gt, workers=self.workers
+        )
+
+        data_iter = iter(loader)
+        for epoch in range(start_epoch, self.epochs):
+            if epoch == self.epochs - self.close_mosaic:
+                transforms.close_mosaic()
+            t0 = time.time()
+            mean_items = np.zeros(6)
+            for _ in range(steps_per_epoch):
+                batch = next(data_iter)
+                device_batch = shard_batch(
+                    {
+                        "img": batch["img"],  # uint8 BGR; normalized+flipped on device
+                        "cls": batch["cls"],
+                        "bboxes": batch["bboxes"],
+                        "mask": batch["mask"],
+                    },
+                    mesh,
+                )
+                state, metrics = train_step(state, device_batch)
+                mean_items += np.asarray(metrics["items"]).reshape(-1)[:6] / steps_per_epoch
+
+            results: Dict[str, float] = {}
+            if self.do_val and info.get("val"):
+                val_vars = {"params": jax.device_get(state.ema_params), "batch_stats": jax.device_get(state.batch_stats)}
+                results = validator(self.data, model=model, variables=val_vars)
+            fitness = results.get("fitness", 0.0)
+            if fitness >= best_fitness:
+                best_fitness = fitness
+                save_checkpoint(ckpt_best, jax.device_get(state), {"epoch": epoch, "fitness": fitness})
+            save_checkpoint(ckpt_last, jax.device_get(state), {"epoch": epoch, "fitness": fitness})
+
+            row = {
+                "epoch": epoch,
+                **{f"train/{n}": round(float(v), 5) for n, v in zip(LOSS_NAMES, mean_items)},
+                **{k: round(float(v), 5) for k, v in results.items()},
+                "lr": float(metrics["lr"]),
+                "time_s": round(time.time() - t0, 1),
+            }
+            write_header = not csv_path.exists()
+            with open(csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(row))
+                if write_header:
+                    w.writeheader()
+                w.writerow(row)
+            print(
+                f"epoch {epoch + 1}/{self.epochs} "
+                + " ".join(f"{n}={v:.3f}" for n, v in zip(LOSS_NAMES, mean_items))
+                + (f" mAP50-95={results.get('metrics/mAP50-95(B)', 0):.4f}" if results else "")
+            )
+            if stopper(epoch, fitness):
+                print(f"early stop at epoch {epoch} (best epoch {stopper.best_epoch})")
+                break
+
+        # final: load best into the facade (reference final_eval semantics)
+        self.yolo.variables = {
+            "params": jax.device_get(state.ema_params),
+            "batch_stats": jax.device_get(state.batch_stats),
+        }
+        self.state = state
+        return results

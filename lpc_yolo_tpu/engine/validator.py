@@ -1,0 +1,161 @@
+"""Validator: batched eval loop -> TP matching at 10 IoUs -> mAP.
+
+Behavioral spec: reference engine/validator.py:106-260 (BaseValidator loop +
+match_predictions) and models/yolo/detect/val.py:17-299 (DetectionValidator:
+preprocess, v10/v8 postprocess, update_metrics, get_stats). COCO-JSON export
+mirrors detect/val.py:259-297 (pred_to_json).
+
+TPU notes: forward + decode run as one jitted program per static batch; the
+IoU/threshold matching runs host-side numpy per image (small tensors), so
+device work streams ahead of metric accumulation. GT/pred matching happens in
+letterbox space — IoU is invariant under the uniform scale+shift, so mAP is
+identical to matching in native space.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import DataLoader, ValTransforms, YOLODataset, check_det_dataset
+from ..ops.letterbox import device_preprocess
+from ..ops.postprocess import non_max_suppression, v10_detections
+from ..utils.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
+
+
+class Validator:
+    def __init__(
+        self,
+        yolo=None,
+        imgsz: int = 640,
+        batch: int = 8,
+        conf: float = 0.001,
+        iou: float = 0.7,
+        max_det: int = 300,
+        max_gt: int = 128,
+        workers: int = 4,
+        save_json: bool = False,
+        save_dir: Optional[str] = None,
+        plots: bool = False,
+    ):
+        self.yolo = yolo
+        self.imgsz = imgsz
+        self.batch = batch
+        self.conf = conf
+        self.iou = iou
+        self.max_det = max_det
+        self.max_gt = max_gt
+        self.workers = workers
+        self.save_json = save_json
+        self.save_dir = Path(save_dir) if save_dir else None
+        self.plots = plots
+        self.iouv = np.linspace(0.5, 0.95, 10)
+        self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
+
+    def _make_predict(self, model, variables):
+        task = self.yolo.task if self.yolo is not None else "v10"
+
+        @jax.jit
+        def predict(variables, imgs_u8):
+            x = device_preprocess(imgs_u8, bgr=True)
+            pred = model.apply(variables, x, training=False, predict_only=True)["pred"]
+            if task == "v10":
+                return v10_detections(pred, self.max_det, model.nc)
+            return non_max_suppression(pred, self.conf, 0.45, self.max_det)
+
+        return predict
+
+    def __call__(self, data, model=None, variables=None) -> Dict[str, float]:
+        model = model if model is not None else self.yolo.model
+        variables = variables if variables is not None else self.yolo.variables
+        info = check_det_dataset(data)
+        dataset = YOLODataset(info["val"], imgsz=self.imgsz, names=info["names"])
+        loader = DataLoader(
+            dataset,
+            ValTransforms(self.imgsz, self.max_gt),
+            batch_size=self.batch,
+            shuffle=False,
+            workers=self.workers,
+            infinite=False,
+        )
+        predict = self._make_predict(model, variables)
+
+        stats: Dict[str, List[np.ndarray]] = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        cm = ConfusionMatrix(nc=info["nc"], conf=self.conf)
+        json_preds: List[Dict] = []
+        for batch in loader:
+            t0 = time.perf_counter()
+            imgs = jnp.asarray(batch["img"])
+            t1 = time.perf_counter()
+            det = np.asarray(predict(variables, imgs))  # (B, max_det, 6)
+            t2 = time.perf_counter()
+            n_real = det.shape[0] - batch["pad_count"]
+            for j in range(n_real):
+                rows = det[j]
+                rows = rows[rows[:, 4] > self.conf]
+                gt_boxes = batch["bboxes"][j][batch["mask"][j]]
+                gt_cls = batch["cls"][j][batch["mask"][j]]
+                if len(rows) == 0:
+                    if len(gt_cls):
+                        stats["tp"].append(np.zeros((0, len(self.iouv)), bool))
+                        stats["conf"].append(np.zeros(0))
+                        stats["pred_cls"].append(np.zeros(0))
+                        stats["target_cls"].append(gt_cls)
+                        cm.process_batch(None, gt_boxes, gt_cls)
+                    continue
+                iou = box_iou_np(gt_boxes, rows[:, :4])
+                tp = match_predictions(rows[:, 5], gt_cls, iou, self.iouv)
+                stats["tp"].append(tp)
+                stats["conf"].append(rows[:, 4])
+                stats["pred_cls"].append(rows[:, 5])
+                stats["target_cls"].append(gt_cls)
+                cm.process_batch(rows, gt_boxes, gt_cls)
+                if self.save_json:
+                    json_preds.extend(self._to_coco_json(rows, batch, j))
+            t3 = time.perf_counter()
+            self.speed["preprocess"] += t1 - t0
+            self.speed["inference"] += t2 - t1
+            self.speed["postprocess"] += t3 - t2
+
+        metrics = DetMetrics(names=info["names"])
+        if stats["tp"]:
+            metrics.process(
+                np.concatenate(stats["tp"]) if stats["tp"] else np.zeros((0, 10), bool),
+                np.concatenate(stats["conf"]),
+                np.concatenate(stats["pred_cls"]),
+                np.concatenate(stats["target_cls"]),
+            )
+        self.metrics = metrics
+        self.confusion_matrix = cm
+        if self.save_json and self.save_dir:
+            self.save_dir.mkdir(parents=True, exist_ok=True)
+            (self.save_dir / "predictions.json").write_text(json.dumps(json_preds))
+        return metrics.results_dict()
+
+    @staticmethod
+    def _to_coco_json(rows: np.ndarray, batch: Dict, j: int) -> List[Dict]:
+        """COCO-format rows (detect/val.py:259-274): xywh with top-left origin,
+        boxes unscaled to the original image."""
+        gain, pad = batch["gain"][j], batch["pad"][j]
+        path = batch["path"][j]
+        image_id = Path(path).stem
+        image_id = int(image_id) if image_id.isnumeric() else image_id
+        out = []
+        for r in rows:
+            b = (r[:4] - np.array([pad[0], pad[1], pad[0], pad[1]])) / gain
+            out.append(
+                {
+                    "image_id": image_id,
+                    "category_id": int(r[5]),
+                    "bbox": [round(float(b[0]), 3), round(float(b[1]), 3), round(float(b[2] - b[0]), 3), round(float(b[3] - b[1]), 3)],
+                    "score": round(float(r[4]), 5),
+                }
+            )
+        return out

@@ -37,19 +37,27 @@ def v10_postprocess(preds: jnp.ndarray, max_det: int = 300, nc: int = 80) -> Tup
     """
     assert preds.shape[-1] == 4 + nc
     boxes, scores = preds[..., :4], preds[..., 4:]
+    A = preds.shape[-2]
+    k1 = min(max_det, A)  # fewer anchors than max_det at small imgsz
 
-    # Stage 1: keep the max_det anchors with the highest per-anchor max score.
+    # Stage 1: keep the k1 anchors with the highest per-anchor max score.
     max_scores = jnp.max(scores, axis=-1)  # (B, A)
-    _, index = jax.lax.top_k(max_scores, max_det)  # (B, max_det)
-    boxes = jnp.take_along_axis(boxes, index[..., None], axis=1)  # (B, max_det, 4)
-    scores = jnp.take_along_axis(scores, index[..., None], axis=1)  # (B, max_det, nc)
+    _, index = jax.lax.top_k(max_scores, k1)  # (B, k1)
+    boxes = jnp.take_along_axis(boxes, index[..., None], axis=1)  # (B, k1, 4)
+    scores = jnp.take_along_axis(scores, index[..., None], axis=1)  # (B, k1, nc)
 
     # Stage 2: flattened top-k over (anchor, class) pairs.
-    flat = scores.reshape(scores.shape[0], -1)  # (B, max_det*nc)
-    scores, index = jax.lax.top_k(flat, max_det)  # (B, max_det)
+    flat = scores.reshape(scores.shape[0], -1)  # (B, k1*nc)
+    k2 = min(max_det, flat.shape[-1])
+    scores, index = jax.lax.top_k(flat, k2)  # (B, k2)
     labels = index % nc
     anchor = index // nc
     boxes = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
+    if k2 < max_det:  # pad to the fixed contract shape
+        pad = max_det - k2
+        boxes = jnp.pad(boxes, ((0, 0), (0, pad), (0, 0)))
+        scores = jnp.pad(scores, ((0, 0), (0, pad)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
     return boxes, scores, labels.astype(jnp.int32)
 
 

@@ -16,9 +16,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def data_parallel_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+def data_parallel_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, batch_size: Optional[int] = None
+) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices.
+
+    If batch_size is given, uses the largest device count that divides it so
+    the batch axis shards evenly (small debug batches on big meshes just use
+    fewer devices instead of erroring).
+    """
     devices = list(devices) if devices is not None else jax.devices()
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.array(devices), axis_names=("data",))
 
 

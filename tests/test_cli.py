@@ -1,0 +1,64 @@
+"""CLI + flag-system tests (mirrors reference tests/test_cli.py strategy but
+in-process for speed; one subprocess test guards the real `python -m` path).
+"""
+
+import subprocess
+import sys
+
+import pytest
+
+from lpc_yolo_tpu.cfg import (
+    DEFAULT_CFG_DICT,
+    check_cfg,
+    check_dict_alignment,
+    entrypoint,
+    get_cfg,
+    merge_equals_args,
+)
+
+
+def test_default_cfg_keys():
+    # the reference's flat namespace: all main sections present
+    for k in ("task", "mode", "epochs", "batch", "imgsz", "lr0", "mosaic", "conf", "iou", "format"):
+        assert k in DEFAULT_CFG_DICT
+
+
+def test_merge_equals_args():
+    assert merge_equals_args(["k", "=", "v"]) == ["k=v"]
+    assert merge_equals_args(["k=", "v"]) == ["k=v"]
+    assert merge_equals_args(["k", "=v"]) == ["k=v"]
+    assert merge_equals_args(["k=v", "a=b"]) == ["k=v", "a=b"]
+
+
+def test_get_cfg_type_validation():
+    cfg = get_cfg(overrides={"epochs": "7", "lr0": "0.02", "save": "false"})
+    assert cfg.epochs == 7 and abs(cfg.lr0 - 0.02) < 1e-9 and cfg.save is False
+    with pytest.raises(ValueError):
+        get_cfg(overrides={"mosaic": 2.0})  # fraction key out of range
+    with pytest.raises(SyntaxError) as ei:
+        get_cfg(overrides={"epohcs": 3})
+    assert "epochs" in str(ei.value)  # fuzzy suggestion
+
+
+def test_entrypoint_special_modes(capsys):
+    entrypoint(["version"])
+    out = capsys.readouterr().out
+    assert out.strip()
+    entrypoint(["cfg"])
+    assert "epochs" in capsys.readouterr().out
+    entrypoint(["help"])
+    assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_entrypoint_unknown_task():
+    with pytest.raises(NotImplementedError):
+        entrypoint(["classify", "train", "data=x.yaml"])
+
+
+def test_module_invocation_subprocess():
+    out = subprocess.run(
+        [sys.executable, "-m", "lpc_yolo_tpu", "version"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0
+    assert out.stdout.strip()

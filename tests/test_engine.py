@@ -1,0 +1,106 @@
+"""Engine tests: trainer/validator/predictor wiring, checkpoint resume,
+metrics math — mirrors the reference tests/test_engine.py strategy (direct
+component construction on tiny real data) using the synthetic coco8-style
+dataset (no downloads in this environment).
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from lpc_yolo_tpu import YOLO
+from lpc_yolo_tpu.data import DataLoader, TrainTransforms, ValTransforms, YOLODataset, check_det_dataset, make_synthetic_dataset
+from lpc_yolo_tpu.utils.metrics import DetMetrics, ap_per_class, box_iou_np, match_predictions
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synds")
+    yaml_path = make_synthetic_dataset(root / "ds", n_train=8, n_val=4, imgsz=128, nc=3)
+    return yaml_path
+
+
+def test_dataset_and_loader(ds):
+    info = check_det_dataset(ds)
+    assert info["nc"] == 3 and len(info["names"]) == 3
+    dataset = YOLODataset(info["train"], imgsz=128)
+    assert len(dataset) == 8
+    item = dataset.get_item_raw(0)
+    assert item["img"].shape == (128, 128, 3)
+    assert item["bboxes"].shape[1] == 4
+
+    loader = DataLoader(dataset, TrainTransforms(128, max_gt=16), batch_size=4, workers=2)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (4, 128, 128, 3) and batch["img"].dtype == np.uint8
+    assert batch["bboxes"].shape == (4, 16, 4)
+    assert batch["mask"].any()
+
+    # val loader pads the last partial batch and reports pad_count
+    vloader = DataLoader(
+        YOLODataset(info["val"], imgsz=128), ValTransforms(128, 16), batch_size=3, shuffle=False, infinite=False
+    )
+    batches = list(vloader)
+    assert len(batches) == 2
+    assert batches[-1]["pad_count"] == 2
+
+
+def test_label_cache_roundtrip(ds):
+    info = check_det_dataset(ds)
+    d1 = YOLODataset(info["train"], imgsz=128)
+    d2 = YOLODataset(info["train"], imgsz=128)  # second load hits .labels.npz
+    for a, b in zip(d1.labels, d2.labels):
+        np.testing.assert_array_equal(a["bboxes"], b["bboxes"])
+
+
+def test_metrics_perfect_predictions():
+    """Predictions identical to gts must give mAP ~1."""
+    gts = np.array([[10, 10, 50, 50], [60, 60, 100, 100]], np.float32)
+    cls = np.array([0.0, 1.0])
+    iou = box_iou_np(gts, gts)
+    tp = match_predictions(cls, cls, iou, np.linspace(0.5, 0.95, 10))
+    assert tp.all()
+    m = DetMetrics().process(tp, np.array([0.9, 0.8]), cls, cls)
+    assert m.map > 0.99 and m.map50 > 0.99
+    assert 0.99 < m.fitness <= 1.0
+
+
+def test_metrics_wrong_class_is_fp():
+    gts = np.array([[10, 10, 50, 50]], np.float32)
+    iou = box_iou_np(gts, gts)
+    tp = match_predictions(np.array([1.0]), np.array([0.0]), iou, np.linspace(0.5, 0.95, 10))
+    assert not tp.any()
+
+
+def test_train_val_predict_resume(ds, tmp_path):
+    """2-epoch train -> metrics dict + ckpts -> resume 1 epoch -> predict."""
+    m = YOLO("yolov10n.yaml", nc=3)
+    run = tmp_path / "run"
+    res = m.train(
+        data=ds, epochs=2, batch=4, imgsz=128, workers=2, max_gt=32,
+        close_mosaic=1, save_dir=str(run), patience=50,
+    )
+    assert set(res) >= {"metrics/mAP50(B)", "metrics/mAP50-95(B)", "fitness"}
+    assert (run / "weights" / "last.ckpt").exists()
+    assert (run / "weights" / "best.ckpt").exists()
+    csv_text = (run / "results.csv").read_text()
+    assert csv_text.count("\n") >= 3  # header + 2 epochs
+
+    # resume continues from epoch 2
+    res2 = m.train(
+        data=ds, epochs=3, batch=4, imgsz=128, workers=2, max_gt=32,
+        close_mosaic=1, save_dir=str(run), patience=50, resume=True,
+    )
+    assert (run / "results.csv").read_text().count("epoch") >= 1
+
+    out = m.predict(str(Path(ds).parent / "images" / "val" / "im000.jpg"), imgsz=128)
+    assert len(out) == 1  # Results object produced (detections may be empty)
+
+
+def test_validator_standalone(ds):
+    m = YOLO("yolov10n.yaml", nc=3)
+    res = m.val(data=ds, imgsz=128, batch=4, max_gt=32)
+    assert set(res) >= {"metrics/precision(B)", "metrics/mAP50-95(B)"}
+    assert all(np.isfinite(v) for v in res.values())

@@ -1,0 +1,47 @@
+"""Export tests: stablehlo round-trip, SavedModel/TFLite artifacts, gating."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lpc_yolo_tpu import YOLO
+from lpc_yolo_tpu.engine.exporter import EXPORT_FORMATS, export_model, load_stablehlo
+
+
+@pytest.fixture(scope="module")
+def small_yolo():
+    return YOLO("yolov10n.yaml", nc=3)
+
+
+def test_stablehlo_roundtrip(small_yolo, tmp_path):
+    path = export_model(small_yolo, fmt="stablehlo", imgsz=64, out_dir=tmp_path)
+    fn = load_stablehlo(path)
+    out = fn(jnp.zeros((1, 64, 64, 3), jnp.float32))
+    assert np.asarray(out).shape == (1, 300, 6)
+
+
+def test_ckpt_export(small_yolo, tmp_path):
+    path = export_model(small_yolo, fmt="ckpt", imgsz=64, out_dir=tmp_path)
+    assert path.endswith(".ckpt")
+
+
+def test_unsupported_format_raises(small_yolo, tmp_path):
+    with pytest.raises(NotImplementedError):
+        export_model(small_yolo, fmt="onnx", out_dir=tmp_path)
+    with pytest.raises(ValueError):
+        export_model(small_yolo, fmt="bogus", out_dir=tmp_path)
+
+
+@pytest.mark.slow
+def test_tflite_export(small_yolo, tmp_path):
+    import tensorflow as tf  # noqa: F401  (skip naturally if missing)
+
+    path = export_model(small_yolo, fmt="tflite", imgsz=64, out_dir=tmp_path)
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    interp.set_tensor(inp["index"], np.zeros((1, 64, 64, 3), np.float32))
+    interp.invoke()
+    out = interp.get_tensor(interp.get_output_details()[0]["index"])
+    assert out.shape == (1, 300, 6)
