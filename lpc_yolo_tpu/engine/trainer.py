@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..data import DataLoader, TrainTransforms, YOLODataset, check_det_dataset
 from ..ops.letterbox import device_preprocess
 from ..parallel import data_parallel_mesh, replicate, shard_batch
+from ..utils.callbacks import CallbackRegistry
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from .train_step import OptConfig, TrainState, init_train_state, make_train_step
 from .validator import Validator
@@ -87,6 +88,7 @@ class Trainer:
         self.resume = resume
         self.hyp = hyp or {}
         self.patience = patience
+        self.callbacks = CallbackRegistry()
         self._opt_kw = dict(
             lr0=lr0, lrf=lrf, momentum=momentum, weight_decay=weight_decay,
             warmup_epochs=warmup_epochs, optimizer=optimizer,
@@ -150,8 +152,11 @@ class Trainer:
             self.yolo, imgsz=self.imgsz, batch=min(self.batch, 8), max_gt=self.max_gt, workers=self.workers
         )
 
+        self.callbacks.run("on_train_start", self)
         data_iter = iter(loader)
         for epoch in range(start_epoch, self.epochs):
+            self.epoch = epoch
+            self.callbacks.run("on_train_epoch_start", self)
             if epoch == self.epochs - self.close_mosaic:
                 transforms.close_mosaic()
             t0 = time.time()
@@ -179,6 +184,7 @@ class Trainer:
                 best_fitness = fitness
                 save_checkpoint(ckpt_best, jax.device_get(state), {"epoch": epoch, "fitness": fitness})
             save_checkpoint(ckpt_last, jax.device_get(state), {"epoch": epoch, "fitness": fitness})
+            self.callbacks.run("on_model_save", self)
 
             row = {
                 "epoch": epoch,
@@ -198,10 +204,13 @@ class Trainer:
                 + " ".join(f"{n}={v:.3f}" for n, v in zip(LOSS_NAMES, mean_items))
                 + (f" mAP50-95={results.get('metrics/mAP50-95(B)', 0):.4f}" if results else "")
             )
+            self.last_metrics = row
+            self.callbacks.run("on_fit_epoch_end", self)
             if stopper(epoch, fitness):
                 print(f"early stop at epoch {epoch} (best epoch {stopper.best_epoch})")
                 break
 
+        self.callbacks.run("on_train_end", self)
         # final: load best into the facade (reference final_eval semantics)
         self.yolo.variables = {
             "params": jax.device_get(state.ema_params),
