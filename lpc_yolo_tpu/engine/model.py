@@ -59,13 +59,18 @@ class YOLO:
             yaml_path = _resolve_yaml(str(model))
             self.model = build_model(yaml_path, nc=nc)
             self.variables = _jit_init(self.model)
-            self.task = task or ("v10" if self._is_v10(yaml_path) else "v8")
+            self.task = task or self._guess_task(yaml_path)
         if self.model.nc != len(self.names):
             self.names = {i: str(i) for i in range(self.model.nc)}
 
     @staticmethod
-    def _is_v10(yaml_path: Path) -> bool:
-        return "v10Detect" in Path(yaml_path).read_text()
+    def _guess_task(yaml_path: Path) -> str:
+        text = Path(yaml_path).read_text()
+        if "v10Detect" in text:
+            return "v10"
+        if "Segment" in text:
+            return "segment"
+        return "v8"
 
     def _load_checkpoint(self, path: str, nc: Optional[int] = None):
         """Load a reference-format torch checkpoint (.pt) and port weights.
@@ -93,7 +98,8 @@ class YOLO:
         names = getattr(tmodel, "names", None)
         if isinstance(names, dict):
             self.names = {int(k): str(v) for k, v in names.items()}
-        self.task = "v10" if any(s.module == "v10Detect" for s in self.model.specs) else "v8"
+        mods = {s.module for s in self.model.specs}
+        self.task = "v10" if "v10Detect" in mods else ("segment" if "Segment" in mods else "v8")
 
     # ------------------------------------------------------------------ modes
     def predict(

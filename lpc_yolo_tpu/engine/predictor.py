@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.boxes import scale_boxes
 from ..ops.letterbox import device_preprocess, letterbox_image
+from ..ops.masks import process_mask
 from ..ops.postprocess import non_max_suppression, v10_detections
 from .results import Results
 
@@ -111,9 +112,19 @@ class Predictor:
 
     def _predict_fn(self, variables, imgs_u8):
         x = device_preprocess(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
-        pred = self.model.apply(variables, x, training=False, predict_only=True)["pred"]
+        out = self.model.apply(variables, x, training=False, predict_only=True)
+        pred = out["pred"]
         if self.task == "v10":
             return v10_detections(pred, self.max_det, self.model.nc)
+        if self.task == "segment":
+            det, aidx = non_max_suppression(
+                pred, self.conf, self.iou, self.max_det, return_anchor_idx=True
+            )
+            mc = jnp.take_along_axis(out["mc"], aidx[..., None], axis=1)  # (B, max_det, nm)
+            masks = jax.vmap(lambda p, c, b: process_mask(p, c, b, x.shape[1:3], upsample=True))(
+                out["proto"], mc, det[..., :4]
+            )  # (B, max_det, H, W) sigmoid masks
+            return det, masks
         return non_max_suppression(pred, self.conf, self.iou, self.max_det)
 
     def __call__(self, source, stream: bool = False):
@@ -133,22 +144,43 @@ class Predictor:
                 batch_u8[j] = lb
                 metas.append((path, im0))
             t1 = time.perf_counter()
-            det = self._predict_jit(self.variables, jnp.asarray(batch_u8))
-            det = np.asarray(jax.block_until_ready(det))  # (B, max_det, 6)
+            out = self._predict_jit(self.variables, jnp.asarray(batch_u8))
+            masks_all = None
+            if isinstance(out, tuple):
+                det, masks_all = out
+                masks_all = np.asarray(jax.block_until_ready(masks_all))
+                det = np.asarray(det)
+            else:
+                det = np.asarray(jax.block_until_ready(out))  # (B, max_det, 6)
             t2 = time.perf_counter()
             for j, (path, im0) in enumerate(metas):
                 rows = det[j]
-                rows = rows[rows[:, 4] > self.conf]
+                keep = rows[:, 4] > self.conf
+                rows = rows[keep]
                 boxes = np.asarray(
                     scale_boxes((self.imgsz, self.imgsz), jnp.asarray(rows[:, :4]), im0.shape[:2])
                 )
                 packed = np.concatenate([boxes, rows[:, 4:6]], axis=-1)
+                masks = None
+                if masks_all is not None and keep.any():
+                    import cv2
+
+                    m = masks_all[j][keep]  # (n, imgsz, imgsz) in letterbox space
+                    gain = min(self.imgsz / im0.shape[0], self.imgsz / im0.shape[1])
+                    pw, ph = (self.imgsz - im0.shape[1] * gain) / 2, (self.imgsz - im0.shape[0] * gain) / 2
+                    y1, y2 = int(round(ph)), int(round(self.imgsz - ph))
+                    x1, x2 = int(round(pw)), int(round(self.imgsz - pw))
+                    m = m[:, y1:y2, x1:x2]
+                    masks = np.stack(
+                        [cv2.resize(mi, (im0.shape[1], im0.shape[0])) > 0.5 for mi in m]
+                    ) if len(m) else None
                 n = max(len(chunk), 1)
                 yield Results(
                     im0,
                     path,
                     self.names,
                     boxes=packed,
+                    masks=masks,
                     speed={
                         "preprocess": (t1 - t0) * 1e3 / n,
                         "inference": (t2 - t1) * 1e3 / n,

@@ -27,7 +27,7 @@ import yaml
 from flax import linen as nn
 
 from . import modules as M
-from .heads import Detect, V10Detect, decode_feats
+from .heads import Detect, Segment, V10Detect, decode_feats
 
 # Modules whose YAML arg[0] is the (width-scaled) output-channel count.
 _BASE = {
@@ -48,7 +48,7 @@ _BASE = {
 # Base modules that additionally receive the (depth-scaled) repeat count.
 _REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA"}
 
-_HEADS = {"Detect", "v10Detect"}
+_HEADS = {"Detect", "v10Detect", "Segment"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -119,7 +119,10 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
             c2 = sum(chs[x] for x in f_list)
             out_args = list(args)
         elif m in _HEADS:
-            out_args = [*args, tuple(chs[x] for x in f_list)]
+            out_args = list(args)
+            if m == "Segment":  # scale npr by width (tasks.py:936)
+                out_args[2] = make_divisible(min(out_args[2], max_channels) * width, 8)
+            out_args = [*out_args, tuple(chs[x] for x in f_list)]
             c2 = chs[f_list[-1]]
         elif m == "CBAM":
             # Reference routes CBAM through the attention-registry branch
@@ -265,6 +268,25 @@ class DetectionModel(nn.Module):
                     if predict_only:
                         return {"pred": out["pred"]}
                     return out
+                elif spec.module == "Segment":
+                    head = Segment(
+                        nc=self.nc,
+                        nm=spec.args[1],
+                        npr=spec.args[2],
+                        ch=spec.args[-1],
+                        strides=self.strides,
+                        reg_max=self.reg_max,
+                        dtype=self.dtype,
+                        name=name,
+                    )
+                    feats, mc, proto = head(xs, training)
+                    if training:
+                        return {"feats": feats, "mc": mc, "proto": proto}
+                    pred = decode_feats(feats, self.strides, self.nc, self.reg_max)
+                    out = {"pred": pred, "mc": mc, "proto": proto}
+                    if not predict_only:
+                        out["feats"] = feats
+                    return out
                 else:
                     head = Detect(
                         nc=self.nc,
@@ -311,7 +333,10 @@ def _infer_strides(model: DetectionModel, ch: int = 3, probe: int = 256) -> Tupl
         )[0],
         x,
     )
-    feats = out["one2many"] if isinstance(out, dict) else out
+    if isinstance(out, dict):
+        feats = out.get("one2many") or out.get("feats")
+    else:
+        feats = out
     return tuple(float(probe / f.shape[1]) for f in feats)
 
 

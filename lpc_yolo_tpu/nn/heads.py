@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.anchors import dfl_expectation, dist2bbox, make_anchors
-from .modules import ConvBN, kaiming_uniform
+from .modules import ConvBN, Proto, kaiming_uniform
 
 
 def _cls_bias_init(nc: int, stride: float):
@@ -32,6 +32,30 @@ def _cls_bias_init(nc: int, stride: float):
 
 def _box_bias_init(key, shape, dtype=jnp.float32):
     return jnp.ones(shape, dtype)
+
+
+def _v8_towers(xs, nc, ch, strides, reg_max, dtype, training):
+    """The v8 Detect box+cls towers (head.py:38-43). A plain helper so Segment/
+    Pose/OBB heads create the same flat param names (cv2_i_j / cv3_i_j) as the
+    reference's attribute paths."""
+    c2 = max(16, ch[0] // 4, reg_max * 4)
+    c3 = max(ch[0], min(nc, 100))
+    outs = []
+    for i, x in enumerate(xs):
+        b = ConvBN(c2, 3, dtype=dtype, name=f"cv2_{i}_0")(x, training)
+        b = ConvBN(c2, 3, dtype=dtype, name=f"cv2_{i}_1")(b, training)
+        b = nn.Conv(
+            4 * reg_max, (1, 1), use_bias=True, kernel_init=kaiming_uniform(),
+            bias_init=_box_bias_init, dtype=dtype, name=f"cv2_{i}_2",
+        )(b)
+        c = ConvBN(c3, 3, dtype=dtype, name=f"cv3_{i}_0")(x, training)
+        c = ConvBN(c3, 3, dtype=dtype, name=f"cv3_{i}_1")(c, training)
+        c = nn.Conv(
+            nc, (1, 1), use_bias=True, kernel_init=kaiming_uniform(),
+            bias_init=_cls_bias_init(nc, strides[i]), dtype=dtype, name=f"cv3_{i}_2",
+        )(c)
+        outs.append(jnp.concatenate([b, c], axis=-1))
+    return tuple(outs)
 
 
 class Detect(nn.Module):
@@ -46,34 +70,40 @@ class Detect(nn.Module):
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
-        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
-        c3 = max(self.ch[0], min(self.nc, 100))
-        outs = []
+        return _v8_towers(xs, self.nc, self.ch, self.strides, self.reg_max, self.dtype, training)
+
+
+class Segment(nn.Module):
+    """YOLOv8 Segment head (head.py:104-128): Detect towers + per-level
+    mask-coefficient towers (cv4) + Proto prototype masks on P3.
+
+    Returns (det_feats tuple, mc (B, A, nm), proto (B, H/4, W/4, nm))."""
+
+    nc: int = 80
+    nm: int = 32
+    npr: int = 256
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
+        p = Proto(self.npr, self.nm, dtype=self.dtype, name="proto")(xs[0], training)
+        c4 = max(self.ch[0] // 4, self.nm)
+        B = xs[0].shape[0]
+        mcs = []
         for i, x in enumerate(xs):
-            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, training)
-            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, training)
-            b = nn.Conv(
-                4 * self.reg_max,
-                (1, 1),
-                use_bias=True,
-                kernel_init=kaiming_uniform(),
-                bias_init=_box_bias_init,
-                dtype=self.dtype,
-                name=f"cv2_{i}_2",
-            )(b)
-            c = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, training)
-            c = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(c, training)
-            c = nn.Conv(
-                self.nc,
-                (1, 1),
-                use_bias=True,
-                kernel_init=kaiming_uniform(),
-                bias_init=_cls_bias_init(self.nc, self.strides[i]),
-                dtype=self.dtype,
-                name=f"cv3_{i}_2",
-            )(c)
-            outs.append(jnp.concatenate([b, c], axis=-1))
-        return tuple(outs)
+            m = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, training)
+            m = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(m, training)
+            m = nn.Conv(
+                self.nm, (1, 1), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype,
+                name=f"cv4_{i}_2",
+            )(m)
+            mcs.append(m.reshape(B, -1, self.nm))
+        mc = jnp.concatenate(mcs, axis=1)  # (B, A, nm)
+        feats = _v8_towers(xs, self.nc, self.ch, self.strides, self.reg_max, self.dtype, training)
+        return feats, mc, p
 
 
 class V10Detect(nn.Module):

@@ -82,7 +82,7 @@ def _pairwise_iou_single_vs_pool(box: jnp.ndarray, pool: jnp.ndarray, eps: float
     return inter / (area1 + area2 - inter + eps)
 
 
-@partial(jax.jit, static_argnames=("max_det", "pre_topk", "multi_label"))
+@partial(jax.jit, static_argnames=("max_det", "pre_topk", "multi_label", "return_anchor_idx"))
 def non_max_suppression(
     preds: jnp.ndarray,
     conf_thres: float = 0.25,
@@ -92,6 +92,7 @@ def non_max_suppression(
     agnostic: bool = False,
     multi_label: bool = False,
     max_wh: float = 7680.0,
+    return_anchor_idx: bool = False,
 ) -> jnp.ndarray:
     """Static-shape batched class-offset NMS.
 
@@ -138,26 +139,24 @@ def non_max_suppression(
     off_boxes = cand_boxes + offset  # (B, k, 4)
 
     def nms_one(boxes_k, scores_k, valid_k):
-        """Greedy NMS for one image: boxes_k (k,4) offset, scores_k (k,), valid (k,)."""
-        live_scores = jnp.where(valid_k, scores_k, -1.0)
+        """Greedy NMS for one image: boxes_k (k,4) offset, scores_k (k,), valid (k,).
 
-        def body(i, state):
-            live, keep_idx, keep_valid = state
+        lax.scan with stacked outputs (no in-loop buffer scatters — those
+        compile pathologically slowly under vmap on TPU); per-step work is a
+        VPU argmax + one row-vs-pool IoU."""
+        live0 = jnp.where(valid_k, scores_k, -1.0)
+
+        def step(live, _):
             j = jnp.argmax(live)
             ok = live[j] > 0.0
-            keep_idx = keep_idx.at[i].set(jnp.where(ok, j, -1))
-            keep_valid = keep_valid.at[i].set(ok)
-            iou = _pairwise_iou_single_vs_pool(boxes_k[j], boxes_k)
+            box_j = jax.lax.dynamic_slice_in_dim(boxes_k, j, 1, axis=0)[0]
+            iou = _pairwise_iou_single_vs_pool(box_j, boxes_k)
             suppress = ok & (iou > iou_thres)
-            live = jnp.where(suppress, -1.0, live)
-            live = live.at[j].set(-1.0)  # always consume the selected row
-            return live, keep_idx, keep_valid
+            onehot_j = jax.lax.broadcasted_iota(jnp.int32, live.shape, 0) == j
+            live = jnp.where(suppress | onehot_j, -1.0, live)
+            return live, (jnp.where(ok, j, -1).astype(jnp.int32), ok)
 
-        keep_idx = jnp.full((max_det,), -1, dtype=jnp.int32)
-        keep_valid = jnp.zeros((max_det,), dtype=bool)
-        _, keep_idx, keep_valid = jax.lax.fori_loop(
-            0, max_det, body, (live_scores, keep_idx, keep_valid)
-        )
+        _, (keep_idx, keep_valid) = jax.lax.scan(step, live0, None, length=max_det)
         return keep_idx, keep_valid
 
     keep_idx, keep_valid = jax.vmap(nms_one)(off_boxes, scores, valid)  # (B, max_det)
@@ -176,4 +175,7 @@ def non_max_suppression(
         ],
         axis=-1,
     )
+    if return_anchor_idx:
+        out_anchor = jnp.where(keep_valid, jnp.take_along_axis(anchor, safe_idx, axis=1), 0)
+        return out, out_anchor.astype(jnp.int32)
     return out
