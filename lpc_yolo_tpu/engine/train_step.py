@@ -144,10 +144,11 @@ def make_train_step(
                 out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
             )
         else:
+            feats = out["feats"] if isinstance(out, dict) else out  # Segment -> dict
             total, items_t = v8_detection_loss(
-                out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
+                feats, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
             )
-            total, items = total, jnp.stack(list(items_t))
+            items = jnp.stack(list(items_t))
         return total, (mut["batch_stats"], items)
 
     @jax.jit

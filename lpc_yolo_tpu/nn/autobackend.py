@@ -1,0 +1,88 @@
+"""AutoBackend: uniform `forward(images)` over every artifact this framework
+produces (live flax model, .ckpt, .stablehlo, TFLite, SavedModel).
+
+Behavioral spec: reference ultralytics/nn/autobackend.py:53-620 — runtime
+dispatch on the weights suffix with one forward signature and warmup(). The
+reference's 12 vendor runtimes map onto the TPU build's artifact set; formats
+whose toolchains aren't present raise at load with a clear message.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class AutoBackend:
+    """Loads any supported artifact and exposes forward(imgs_f32_nhwc) -> (B, max_det, 6)."""
+
+    def __init__(self, weights: str, imgsz: int = 640):
+        self.path = str(weights)
+        self.imgsz = imgsz
+        suffix = Path(self.path).suffix.lower()
+        name = Path(self.path).name
+        if suffix == ".stablehlo":
+            from ..engine.exporter import load_stablehlo
+
+            self._fn = load_stablehlo(self.path)
+            self.kind = "stablehlo"
+        elif suffix == ".tflite":
+            import tensorflow as tf
+
+            self._interp = tf.lite.Interpreter(model_path=self.path)
+            self._interp.allocate_tensors()
+            self._in = self._interp.get_input_details()[0]
+            self._out = self._interp.get_output_details()[0]
+
+            def fn(x):
+                self._interp.set_tensor(self._in["index"], np.asarray(x, np.float32))
+                self._interp.invoke()
+                return self._interp.get_tensor(self._out["index"])
+
+            self._fn = fn
+            self.kind = "tflite"
+        elif suffix == ".ckpt":
+            # native checkpoint: needs the architecture; stored alongside as json
+            raise ValueError(
+                ".ckpt artifacts carry only weights; load via YOLO(model_yaml) + "
+                "utils.checkpoint.load_checkpoint, or export to stablehlo/tflite"
+            )
+        elif Path(self.path).is_dir() and (Path(self.path) / "saved_model.pb").exists():
+            import tensorflow as tf
+
+            sm = tf.saved_model.load(self.path)
+            f = sm.signatures["serving_default"]
+
+            def fn(x):
+                out = f(images=np.asarray(x, np.float32) if not hasattr(x, "numpy") else x)
+                return list(out.values())[0].numpy()
+
+            self._fn = fn
+            self.kind = "saved_model"
+        elif suffix == ".pt":
+            from ..engine.model import YOLO
+
+            y = YOLO(self.path)
+            jit_fn = jax.jit(
+                lambda img: y.model.apply(y.variables, img, training=False, predict_only=True)["pred"]
+            )
+            from ..ops.postprocess import v10_detections
+
+            self._fn = lambda x: np.asarray(v10_detections(jit_fn(jnp.asarray(x)), 300, y.model.nc))
+            self.kind = "pt"
+        else:
+            raise ValueError(f"unsupported weights '{weights}' (suffix {suffix})")
+
+    def forward(self, imgs: np.ndarray) -> np.ndarray:
+        """imgs: (B, H, W, 3) fp32 RGB in [0,1] -> (B, max_det, 6)."""
+        return np.asarray(self._fn(imgs))
+
+    __call__ = forward
+
+    def warmup(self, batch: int = 1) -> None:
+        self.forward(np.zeros((batch, self.imgsz, self.imgsz, 3), np.float32))

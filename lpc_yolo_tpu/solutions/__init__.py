@@ -1,0 +1,13 @@
+"""Demo solutions built on the Results/tracking APIs.
+
+Behavioral spec: reference ultralytics/solutions/ — object counting
+(object_counter.py), heatmaps (heatmap.py), speed estimation
+(speed_estimation.py), distance calculation. Host-side numpy consumers of the
+predict/track streams.
+"""
+
+from .object_counter import ObjectCounter
+from .heatmap import Heatmap
+from .speed_estimator import SpeedEstimator
+
+__all__ = ["ObjectCounter", "Heatmap", "SpeedEstimator"]

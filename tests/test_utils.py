@@ -1,0 +1,150 @@
+"""Tests for infra utils, solutions, converter, autobackend, distributed helpers."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from lpc_yolo_tpu.data.converter import coco91_to_coco80_class, convert_coco, verify_dataset
+from lpc_yolo_tpu.engine.results import Results
+from lpc_yolo_tpu.solutions import Heatmap, ObjectCounter, SpeedEstimator
+from lpc_yolo_tpu.utils.infra import SettingsManager, ThreadingLocked, TryExcept, retry, threaded
+
+
+def _tracked_frame(t, img_shape=(240, 320, 3)):
+    img = np.zeros(img_shape, np.uint8)
+    # one object moving right, id 1
+    det = np.array([[40 + 20 * t, 100, 90 + 20 * t, 150, 1, 0.9, 0]], np.float32)
+    return Results(img, f"f{t}", {0: "car"}, boxes=det)
+
+
+def test_object_counter_line_crossing():
+    counter = ObjectCounter(region=[(160, 0), (160, 240)], names={0: "car"})
+    for t in range(8):
+        counter.update(_tracked_frame(t))
+    assert counter.in_count + counter.out_count == 1
+    assert counter.class_counts["car"]["in"] + counter.class_counts["car"]["out"] == 1
+    im = counter.annotate(np.zeros((240, 320, 3), np.uint8))
+    assert im.shape == (240, 320, 3)
+
+
+def test_heatmap_accumulates():
+    hm = Heatmap((240, 320))
+    for t in range(4):
+        hm.update(_tracked_frame(t))
+    assert hm.acc.max() > 0
+    assert hm.render().shape == (240, 320, 3)
+
+
+def test_speed_estimator():
+    se = SpeedEstimator(fps=30, pixels_per_meter=10)
+    speeds = {}
+    for t in range(5):
+        speeds = se.update(_tracked_frame(t))
+    # 20 px/frame at 30 fps, 10 px/m -> 2 m/frame... 60 m/s = 216 km/h
+    assert 1 in speeds and speeds[1] > 0
+
+
+def test_coco_converter(tmp_path):
+    coco = {
+        "images": [{"id": 1, "file_name": "a.jpg", "height": 100, "width": 200}],
+        "annotations": [
+            {"image_id": 1, "category_id": 1, "bbox": [20, 10, 40, 30], "iscrowd": 0},
+            {"image_id": 1, "category_id": 3, "bbox": [0, 0, 10, 10], "iscrowd": 0},
+        ],
+    }
+    j = tmp_path / "instances.json"
+    j.write_text(json.dumps(coco))
+    out = convert_coco(str(j), str(tmp_path / "labels"))
+    rows = (Path(out) / "a.txt").read_text().strip().splitlines()
+    assert len(rows) == 2
+    c, cx, cy, w, h = map(float, rows[0].split())
+    assert c == 0 and abs(cx - 0.2) < 1e-6 and abs(cy - 0.25) < 1e-6
+
+
+def test_coco91_map():
+    m = coco91_to_coco80_class()
+    assert m[0] == 0  # person
+    assert m[11] is None  # street sign (removed id 12)
+    assert sum(v is not None for v in m) == 80
+
+
+def test_verify_dataset(tmp_path):
+    from lpc_yolo_tpu.data import make_synthetic_dataset
+
+    y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
+    rep = verify_dataset(y)
+    assert rep["splits"]["train"]["images"] == 4
+    assert rep["splits"]["train"]["bad_labels"] == 0
+    assert sum(rep["splits"]["train"]["class_histogram"]) == rep["splits"]["train"]["boxes"]
+
+
+def test_settings_manager(tmp_path):
+    f = tmp_path / "settings.yaml"
+    s = SettingsManager(file=f)
+    assert f.exists()
+    s.update({"tensorboard": False})
+    s2 = SettingsManager(file=f)
+    assert s2["tensorboard"] is False
+    s2.reset()
+    assert SettingsManager(file=f)["tensorboard"] is True
+
+
+def test_guards():
+    @TryExcept("handled")
+    def boom():
+        raise RuntimeError("x")
+
+    boom()  # swallowed
+
+    calls = []
+
+    @retry(times=3, delay=0.01)
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise ValueError("try again")
+        return "ok"
+
+    assert flaky() == "ok" and len(calls) == 2
+
+    lock = ThreadingLocked()
+
+    @lock
+    def critical():
+        return 42
+
+    assert critical() == 42
+
+    t = threaded(lambda: None)()
+    t.join(timeout=2)
+
+
+def test_autobackend_stablehlo(tmp_path):
+    from lpc_yolo_tpu import YOLO
+    from lpc_yolo_tpu.engine.exporter import export_model
+    from lpc_yolo_tpu.nn.autobackend import AutoBackend
+
+    y = YOLO("yolov10n.yaml", nc=3)
+    path = export_model(y, fmt="stablehlo", imgsz=64, out_dir=tmp_path)
+    be = AutoBackend(path, imgsz=64)
+    be.warmup()
+    out = be(np.zeros((1, 64, 64, 3), np.float32))
+    assert out.shape == (1, 300, 6)
+    with pytest.raises(ValueError):
+        AutoBackend("weights.xyz")
+
+
+def test_distributed_single_host():
+    from lpc_yolo_tpu.parallel.distributed import (
+        broadcast_scalar,
+        is_main_process,
+        main_process_first,
+        process_count,
+    )
+
+    assert process_count() == 1 and is_main_process()
+    assert broadcast_scalar(3.5) == 3.5
+    with main_process_first():
+        pass
