@@ -44,8 +44,7 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
 
     def forward(variables, img):
-        pred = model.apply(variables, img, training=False, predict_only=True)["pred"]
-        return v10_detections(pred, 300, model.nc)
+        return model.apply(variables, img, training=False, predict_only=True)["det"]
 
     @jax.jit
     def bench_loop(variables, img):

@@ -47,8 +47,10 @@ def _predict_fn(model, variables, max_det: int = 300) -> Callable:
     from ..ops.postprocess import v10_detections
 
     def fn(img):
-        pred = model.apply(variables, img, training=False, predict_only=True)["pred"]
-        return v10_detections(pred, max_det, model.nc)
+        out = model.apply(variables, img, training=False, predict_only=True)
+        if "det" in out:
+            return out["det"]
+        return v10_detections(out["pred"], max_det, model.nc)
 
     return fn
 

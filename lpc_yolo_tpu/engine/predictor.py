@@ -113,9 +113,9 @@ class Predictor:
     def _predict_fn(self, variables, imgs_u8):
         x = device_preprocess(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
         out = self.model.apply(variables, x, training=False, predict_only=True)
-        pred = out["pred"]
         if self.task == "v10":
-            return v10_detections(pred, self.max_det, self.model.nc)
+            return out["det"]  # fused top-k decode inside the model graph
+        pred = out["pred"]
         if self.task == "segment":
             det, aidx = non_max_suppression(
                 pred, self.conf, self.iou, self.max_det, return_anchor_idx=True

@@ -65,10 +65,10 @@ class Validator:
         @jax.jit
         def predict(variables, imgs_u8):
             x = device_preprocess(imgs_u8, bgr=True)
-            pred = model.apply(variables, x, training=False, predict_only=True)["pred"]
+            out = model.apply(variables, x, training=False, predict_only=True)
             if task == "v10":
-                return v10_detections(pred, self.max_det, model.nc)
-            return non_max_suppression(pred, self.conf, 0.45, self.max_det)
+                return out["det"]
+            return non_max_suppression(out["pred"], self.conf, 0.45, self.max_det)
 
         return predict
 

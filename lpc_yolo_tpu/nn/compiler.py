@@ -27,7 +27,7 @@ import yaml
 from flax import linen as nn
 
 from . import modules as M
-from .heads import Detect, Segment, V10Detect, decode_feats
+from .heads import Detect, Segment, V10Detect, decode_feats, decode_feats_topk
 
 # Modules whose YAML arg[0] is the (width-scaled) output-channel count.
 _BASE = {
@@ -264,9 +264,10 @@ class DetectionModel(nn.Module):
                     out = head(xs, training, branches=branches)
                     if training:
                         return out
-                    out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
                     if predict_only:
-                        return {"pred": out["pred"]}
+                        # fused decode: top-k before DFL/sigmoid (heads.py:decode_feats_topk)
+                        return {"det": decode_feats_topk(out["one2one"], self.strides, self.nc, self.reg_max)}
+                    out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
                     return out
                 elif spec.module == "Segment":
                     head = Segment(

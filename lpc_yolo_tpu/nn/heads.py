@@ -167,6 +167,71 @@ class V10Detect(nn.Module):
         return out
 
 
+def decode_feats_topk(
+    feats: Sequence[jnp.ndarray],
+    strides: Sequence[float],
+    nc: int,
+    reg_max: int = 16,
+    max_det: int = 300,
+) -> jnp.ndarray:
+    """Fused NMS-free v10 decode: top-k FIRST, then DFL/sigmoid on survivors.
+
+    Produces bit-identical results to decode_feats + ops.v10_detections (the
+    reference's Detect.inference + v10postprocess pipeline) but ~A/max_det x
+    cheaper: sigmoid is monotonic, so the stage-1 per-anchor-max top-k can run
+    on raw class logits, and the DFL softmax-expectation (the expensive part,
+    (B,A,4,16) softmax+matmul) only runs on the max_det selected anchors.
+
+    Returns (B, max_det, 6) = [x1, y1, x2, y2, score, label].
+    """
+    B = feats[0].shape[0]
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    no = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)  # (B, A, no)
+    A = flat.shape[1]
+    k1 = min(max_det, A)
+    box_logits = flat[..., : 4 * reg_max]
+    cls_logits = flat[..., 4 * reg_max :].astype(jnp.float32)
+
+    # stage 1 on raw logits (sigmoid is monotonic)
+    max_logit = jnp.max(cls_logits, axis=-1)  # (B, A)
+    _, idx = jax.lax.top_k(max_logit, k1)  # (B, k1)
+    sel_box = jnp.take_along_axis(box_logits, idx[..., None], axis=1)  # (B, k1, 64)
+    sel_cls = jnp.take_along_axis(cls_logits, idx[..., None], axis=1)  # (B, k1, nc)
+
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
+    sel_anchors = jnp.take_along_axis(
+        jnp.broadcast_to(anchor_points[None], (B, A, 2)), idx[..., None], axis=1
+    )
+    sel_strides = jnp.take_along_axis(
+        jnp.broadcast_to(stride_tensor[None], (B, A, 1)), idx[..., None], axis=1
+    )
+
+    dist = dfl_expectation(sel_box.astype(jnp.float32), reg_max)  # (B, k1, 4)
+    dbox = dist2bbox(dist, sel_anchors, xywh=True) * sel_strides
+    scores = jax.nn.sigmoid(sel_cls)
+
+    # stage 2: flattened (anchor, class) top-k (ops.py:851-864 semantics)
+    flat_scores = scores.reshape(B, -1)
+    k2 = min(max_det, flat_scores.shape[-1])
+    out_scores, fidx = jax.lax.top_k(flat_scores, k2)
+    labels = (fidx % nc).astype(jnp.int32)
+    arow = fidx // nc
+    out_boxes = jnp.take_along_axis(dbox, arow[..., None], axis=1)
+    if k2 < max_det:
+        pad = max_det - k2
+        out_boxes = jnp.pad(out_boxes, ((0, 0), (0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, ((0, 0), (0, pad)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+
+    from ..ops.boxes import xywh2xyxy
+
+    return jnp.concatenate(
+        [xywh2xyxy(out_boxes), out_scores[..., None], labels[..., None].astype(out_boxes.dtype)],
+        axis=-1,
+    )
+
+
 def decode_feats(
     feats: Sequence[jnp.ndarray],
     strides: Sequence[float],

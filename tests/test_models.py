@@ -60,7 +60,30 @@ def test_forward_shapes(cfg):
     assert set(train_out) == {"one2many", "one2one"}
     assert train_out["one2many"][0].shape == (2, 8, 8, 144)
     po = m.apply(v, x, training=False, predict_only=True)
-    assert set(po) == {"pred"}
+    assert set(po) == {"det"}
+    assert po["det"].shape == (2, 300, 6)
+
+
+def test_fused_decode_matches_full_decode():
+    """decode_feats_topk (top-k before DFL/sigmoid) must equal the full decode
+    + v10 top-k pipeline row-for-row (sigmoid monotonicity argument)."""
+    from lpc_yolo_tpu.nn.heads import decode_feats, decode_feats_topk
+    from lpc_yolo_tpu.ops import v10_detections
+
+    m = build_model(CFG / "v10/yolov10n.yaml")
+    v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 96, 96, 3).astype(np.float32))
+    out, _ = m.apply(v, x, training=True, mutable=["batch_stats"])
+    feats = out["one2one"]
+    full = v10_detections(decode_feats(feats, m.strides, m.nc), 300, m.nc)
+    fused = decode_feats_topk(feats, m.strides, m.nc, max_det=300)
+    # identical score ordering; compare row sets after lexsort (ties may permute)
+    a, b = np.asarray(full), np.asarray(fused)
+    np.testing.assert_allclose(a[..., 4], b[..., 4], atol=1e-6)  # scores identical
+    for i in range(a.shape[0]):
+        sa = a[i][np.lexsort(a[i].T[::-1])]
+        sb = b[i][np.lexsort(b[i].T[::-1])]
+        np.testing.assert_allclose(sa, sb, atol=1e-4)
 
 
 def test_nc_override():
