@@ -1,0 +1,55 @@
+"""Explorer, checks, and hub-shim tests (reference tests/test_explorer.py strategy)."""
+
+import numpy as np
+import pytest
+
+from lpc_yolo_tpu.utils.checks import check_bf16, check_imgsz, check_version
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    from lpc_yolo_tpu.data import make_synthetic_dataset
+
+    root = tmp_path_factory.mktemp("expds")
+    return make_synthetic_dataset(root / "ds", n_train=6, n_val=2, imgsz=96, nc=2)
+
+
+def test_explorer_similarity(ds):
+    from lpc_yolo_tpu.data.explorer import Explorer
+
+    ex = Explorer(ds, imgsz=96)
+    emb = ex.create_embeddings_table()
+    assert emb.shape[0] == 6
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+    sim = ex.get_similar(0, limit=3)
+    assert sim[0]["idx"] == 0 and sim[0]["similarity"] > 0.999
+    idx = ex.similarity_index(top_k=2, sim_thres=0.5)
+    assert len(idx) == 6
+    rows = ex.query(lambda r: (r["cls"] == 0).any())
+    assert all((r["cls"] == 0).any() for r in rows)
+
+
+def test_checks():
+    assert check_imgsz(639) == 640
+    assert check_imgsz([100, 200]) == [128, 224]
+    assert check_version("2.1.0", "2.0.0")
+    assert not check_version("1.9", "2.0.0")
+    with pytest.raises(AssertionError):
+        check_version("1.0", "2.0", hard=True)
+    assert check_bf16() in (True, False)
+
+
+def test_hub_session():
+    from lpc_yolo_tpu.hub import Auth, HUBTrainingSession, login
+
+    assert not login().authenticated and login("k").authenticated
+    sent = []
+    s = HUBTrainingSession("m1", Auth("k"), transport=lambda kind, payload: sent.append((kind, payload)))
+    s.upload_metrics(0, {"fitness": 0.5})
+    s.upload_model(0, "w.ckpt", is_best=True)
+    assert sent[0][0] == "metrics" and sent[1][0] == "model"
+    assert not s.metrics_queue  # drained after successful send
+
+    s2 = HUBTrainingSession("m2")  # no transport: queues persist
+    s2.upload_metrics(1, {"fitness": 0.1})
+    assert 1 in s2.metrics_queue
