@@ -157,6 +157,13 @@ class YOLO:
         t = Trainer(self, **kw)
         return t.train()
 
+    def fuse(self) -> "YOLO":
+        """Fold BN into conv weights for deploy (BaseModel.fuse semantics)."""
+        from ..nn.fuse import fuse_conv_bn
+
+        self.variables = fuse_conv_bn(self.variables)
+        return self
+
     @property
     def n_params(self) -> int:
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.variables["params"]))

@@ -86,6 +86,20 @@ def test_fused_decode_matches_full_decode():
         np.testing.assert_allclose(sa, sb, atol=1e-4)
 
 
+def test_fuse_conv_bn_exact():
+    """BN fold must be numerically exact at inference (fuse semantics)."""
+    from lpc_yolo_tpu.nn.fuse import fuse_conv_bn
+
+    m = build_model(CFG / "v10/yolov10n.yaml")
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32))
+    _, mut = m.apply(v, x, training=True, mutable=["batch_stats"])  # non-trivial stats
+    v = {"params": v["params"], "batch_stats": mut["batch_stats"]}
+    a = m.apply(v, x, training=False, predict_only=True)["det"]
+    b = m.apply(fuse_conv_bn(v), x, training=False, predict_only=True)["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
 def test_nc_override():
     m = build_model(CFG / "v10/yolov10n.yaml", nc=7)
     v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
