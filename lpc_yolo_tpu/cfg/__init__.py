@@ -193,10 +193,15 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
             check_dict_alignment({**DEFAULT_CFG_DICT, **{t: None for t in TASKS | MODES}}, {a: ""})
     mode = mode or overrides.pop("mode", None) or "predict"
     task = task or overrides.pop("task", None) or "detect"
-    if task not in ("detect",):
-        raise NotImplementedError(f"task '{task}' not implemented yet in the TPU build (detect only)")
 
-    model_name = overrides.pop("model", None) or "yolov10n.yaml"
+    default_models = {
+        "detect": "yolov10n.yaml",
+        "segment": "yolov8-seg.yaml",
+        "classify": "yolov8-cls.yaml",
+        "pose": "yolov8-pose.yaml",
+        "obb": "yolov8-obb.yaml",
+    }
+    model_name = overrides.pop("model", None) or default_models[task]
     cfg = get_cfg(DEFAULT_CFG_DICT, {**overrides, "mode": mode, "task": task})
     model = YOLO(model_name)
 

@@ -66,10 +66,12 @@ class YOLO:
     @staticmethod
     def _guess_task(yaml_path: Path) -> str:
         text = Path(yaml_path).read_text()
-        if "v10Detect" in text:
-            return "v10"
-        if "Segment" in text:
-            return "segment"
+        for key, task in (
+            ("v10Detect", "v10"), ("Segment", "segment"), ("Pose", "pose"),
+            ("OBB", "obb"), ("Classify", "classify"),
+        ):
+            if key in text:
+                return task
         return "v8"
 
     def _load_checkpoint(self, path: str, nc: Optional[int] = None):
@@ -99,7 +101,15 @@ class YOLO:
         if isinstance(names, dict):
             self.names = {int(k): str(v) for k, v in names.items()}
         mods = {s.module for s in self.model.specs}
-        self.task = "v10" if "v10Detect" in mods else ("segment" if "Segment" in mods else "v8")
+        for key, task in (
+            ("v10Detect", "v10"), ("Segment", "segment"), ("Pose", "pose"),
+            ("OBB", "obb"), ("Classify", "classify"),
+        ):
+            if key in mods:
+                self.task = task
+                break
+        else:
+            self.task = "v8"
 
     # ------------------------------------------------------------------ modes
     def predict(

@@ -115,7 +115,24 @@ class Predictor:
         out = self.model.apply(variables, x, training=False, predict_only=True)
         if self.task == "v10":
             return out["det"]  # fused top-k decode inside the model graph
+        if self.task == "classify":
+            return out["probs"]
         pred = out["pred"]
+        if self.task == "pose":
+            det, aidx = non_max_suppression(
+                pred, self.conf, self.iou, self.max_det, return_anchor_idx=True
+            )
+            kpt = jnp.take_along_axis(out["kpt"], aidx[..., None], axis=1)  # (B, max_det, nk)
+            return det, kpt
+        if self.task == "obb":
+            # rotated boxes: suppression approximated on the axis-aligned hull
+            # (reference uses probiou rotated NMS; TODO exact rotated variant)
+            det, aidx = non_max_suppression(
+                pred[..., : 4 + self.model.nc], self.conf, self.iou, self.max_det,
+                return_anchor_idx=True,
+            )
+            angle = jnp.take_along_axis(out["pred"][..., -1:], aidx[..., None], axis=1)
+            return det, angle
         if self.task == "segment":
             det, aidx = non_max_suppression(
                 pred, self.conf, self.iou, self.max_det, return_anchor_idx=True
@@ -145,15 +162,31 @@ class Predictor:
                 metas.append((path, im0))
             t1 = time.perf_counter()
             out = self._predict_jit(self.variables, jnp.asarray(batch_u8))
-            masks_all = None
-            if isinstance(out, tuple):
-                det, masks_all = out
-                masks_all = np.asarray(jax.block_until_ready(masks_all))
+            masks_all, extra_kind, extra_all, probs_all = None, None, None, None
+            if self.task == "classify":
+                probs_all = np.asarray(jax.block_until_ready(out))
+                det = None
+            elif isinstance(out, tuple):
+                det, payload = out
+                if self.task == "segment":
+                    masks_all = np.asarray(jax.block_until_ready(payload))
+                else:  # pose: keypoints; obb: angles
+                    extra_kind = "kpt" if self.task == "pose" else "angle"
+                    extra_all = np.asarray(jax.block_until_ready(payload))
                 det = np.asarray(det)
             else:
                 det = np.asarray(jax.block_until_ready(out))  # (B, max_det, 6)
             t2 = time.perf_counter()
             for j, (path, im0) in enumerate(metas):
+                if self.task == "classify":
+                    n = max(len(chunk), 1)
+                    yield Results(
+                        im0, path, self.names, probs=probs_all[j],
+                        speed={"preprocess": (t1 - t0) * 1e3 / n,
+                               "inference": (t2 - t1) * 1e3 / n,
+                               "postprocess": 0.0},
+                    )
+                    continue
                 rows = det[j]
                 keep = rows[:, 4] > self.conf
                 rows = rows[keep]
@@ -174,6 +207,15 @@ class Predictor:
                     masks = np.stack(
                         [cv2.resize(mi, (im0.shape[1], im0.shape[0])) > 0.5 for mi in m]
                     ) if len(m) else None
+                keypoints = None
+                if extra_kind == "kpt" and keep.any():
+                    nk = extra_all.shape[-1]
+                    kp = extra_all[j][keep].reshape(len(rows), nk // 3, 3).copy()
+                    gain = min(self.imgsz / im0.shape[0], self.imgsz / im0.shape[1])
+                    pw, ph = (self.imgsz - im0.shape[1] * gain) / 2, (self.imgsz - im0.shape[0] * gain) / 2
+                    kp[..., 0] = (kp[..., 0] - pw) / gain
+                    kp[..., 1] = (kp[..., 1] - ph) / gain
+                    keypoints = kp
                 n = max(len(chunk), 1)
                 yield Results(
                     im0,
@@ -181,6 +223,7 @@ class Predictor:
                     self.names,
                     boxes=packed,
                     masks=masks,
+                    keypoints=keypoints,
                     speed={
                         "preprocess": (t1 - t0) * 1e3 / n,
                         "inference": (t2 - t1) * 1e3 / n,

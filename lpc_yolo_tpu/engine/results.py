@@ -86,6 +86,7 @@ class Results:
         boxes: Optional[np.ndarray] = None,
         masks: Optional[np.ndarray] = None,
         probs: Optional[np.ndarray] = None,
+        keypoints: Optional[np.ndarray] = None,
         speed: Optional[Dict[str, float]] = None,
     ):
         self.orig_img = orig_img
@@ -95,6 +96,7 @@ class Results:
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
         self.masks = masks
         self.probs = probs
+        self.keypoints = keypoints
         self.speed = speed or {}
 
     def __len__(self) -> int:

@@ -27,7 +27,18 @@ import yaml
 from flax import linen as nn
 
 from . import modules as M
-from .heads import Detect, Segment, V10Detect, decode_feats, decode_feats_topk
+from .heads import (
+    OBB,
+    Classify,
+    Detect,
+    Pose,
+    Segment,
+    V10Detect,
+    decode_feats,
+    decode_feats_obb,
+    decode_feats_topk,
+    decode_kpts,
+)
 
 # Modules whose YAML arg[0] is the (width-scaled) output-channel count.
 _BASE = {
@@ -48,7 +59,7 @@ _BASE = {
 # Base modules that additionally receive the (depth-scaled) repeat count.
 _REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA"}
 
-_HEADS = {"Detect", "v10Detect", "Segment"}
+_HEADS = {"Detect", "v10Detect", "Segment", "Pose", "OBB"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -103,7 +114,10 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
     save: List[int] = []
 
     for i, (f, n, m, args) in enumerate(d["backbone"] + d["head"]):
-        args = [nc if a == "nc" else a for a in list(args)]
+        args = [
+            nc if a == "nc" else (tuple(d["kpt_shape"]) if a == "kpt_shape" else a)
+            for a in list(args)
+        ]
         n_res = max(round(n * depth), 1) if n > 1 else n
         f_list = [f] if isinstance(f, int) else list(f)
 
@@ -144,6 +158,9 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
             c1, c2 = chs[f_list[0]], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
+            out_args = [c1, c2, *args[1:]]
+        elif m == "Classify":
+            c1, c2 = chs[f_list[0]], args[0]
             out_args = [c1, c2, *args[1:]]
         elif m == "nn.Upsample":
             c2 = chs[f_list[0]]
@@ -269,6 +286,37 @@ class DetectionModel(nn.Module):
                         return {"det": decode_feats_topk(out["one2one"], self.strides, self.nc, self.reg_max)}
                     out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
                     return out
+                elif spec.module == "Pose":
+                    kpt_shape = tuple(spec.args[1]) if len(spec.args) > 2 else (17, 3)
+                    head = Pose(
+                        nc=self.nc, kpt_shape=kpt_shape, ch=spec.args[-1],
+                        strides=self.strides, reg_max=self.reg_max, dtype=self.dtype, name=name,
+                    )
+                    feats, kpt = head(xs, training)
+                    if training:
+                        return {"feats": feats, "kpt_raw": kpt}
+                    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+                    out = {
+                        "pred": decode_feats(feats, self.strides, self.nc, self.reg_max),
+                        "kpt": decode_kpts(kpt, feat_shapes, self.strides, kpt_shape),
+                    }
+                    if not predict_only:
+                        out["feats"] = feats
+                    return out
+                elif spec.module == "OBB":
+                    ne = spec.args[1] if len(spec.args) > 2 else 1
+                    head = OBB(
+                        nc=self.nc, ne=ne, ch=spec.args[-1],
+                        strides=self.strides, reg_max=self.reg_max, dtype=self.dtype, name=name,
+                    )
+                    feats, angle = head(xs, training)
+                    if training:
+                        return {"feats": feats, "angle": angle}
+                    out = {"pred": decode_feats_obb(feats, angle, self.strides, self.nc, self.reg_max)}
+                    if not predict_only:
+                        out["feats"] = feats
+                        out["angle"] = angle
+                    return out
                 elif spec.module == "Segment":
                     head = Segment(
                         nc=self.nc,
@@ -305,6 +353,14 @@ class DetectionModel(nn.Module):
                         return {"pred": pred}
                     return {"feats": feats, "pred": pred}
 
+            if spec.module == "Classify":
+                logits = Classify(nc=spec.args[1], dtype=self.dtype, name=name)(
+                    x if spec.f[0] == -1 else y[spec.f[0]], training
+                )
+                if training:
+                    return logits
+                return {"probs": jax.nn.softmax(logits, axis=-1), "logits": logits}
+
             module = _build_module(spec, self.dtype, name)
             if spec.module == "Concat":
                 inp = [x if j == -1 else y[j] for j in spec.f]
@@ -338,6 +394,8 @@ def _infer_strides(model: DetectionModel, ch: int = 3, probe: int = 256) -> Tupl
         feats = out.get("one2many") or out.get("feats")
     else:
         feats = out
+    if not isinstance(feats, (tuple, list)):  # headless/classify graphs: no strides
+        return (8.0, 16.0, 32.0)
     return tuple(float(probe / f.shape[1]) for f in feats)
 
 

@@ -13,7 +13,7 @@ conv bias = log(5 / nc / (640 / stride)^2).
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence, Tuple  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -104,6 +104,112 @@ class Segment(nn.Module):
         mc = jnp.concatenate(mcs, axis=1)  # (B, A, nm)
         feats = _v8_towers(xs, self.nc, self.ch, self.strides, self.reg_max, self.dtype, training)
         return feats, mc, p
+
+
+class Pose(nn.Module):
+    """YOLOv8 Pose head (head.py:161-200): Detect towers + per-level keypoint
+    towers. Returns (det_feats, kpt (B, A, nk)) raw; keypoint decode is the
+    pure fn `decode_kpts` (kpts_decode semantics)."""
+
+    nc: int = 1
+    kpt_shape: Tuple[int, int] = (17, 3)
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
+        nk = self.kpt_shape[0] * self.kpt_shape[1]
+        c4 = max(self.ch[0] // 4, nk)
+        B = xs[0].shape[0]
+        ks = []
+        for i, x in enumerate(xs):
+            k = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, training)
+            k = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(k, training)
+            k = nn.Conv(nk, (1, 1), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype,
+                        name=f"cv4_{i}_2")(k)
+            ks.append(k.reshape(B, -1, nk))
+        kpt = jnp.concatenate(ks, axis=1)  # (B, A, nk)
+        feats = _v8_towers(xs, self.nc, self.ch, self.strides, self.reg_max, self.dtype, training)
+        return feats, kpt
+
+
+def decode_kpts(
+    kpt: jnp.ndarray,  # (B, A, nk) raw
+    feat_shapes,
+    strides,
+    kpt_shape: Tuple[int, int] = (17, 3),
+) -> jnp.ndarray:
+    """Keypoint decode (head.py:185-200): xy = (raw*2 + anchor - 0.5) * stride,
+    visibility sigmoid. Returns (B, A, nk)."""
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
+    B, A, nk = kpt.shape
+    nkpt, ndim = kpt_shape
+    y = kpt.reshape(B, A, nkpt, ndim).astype(jnp.float32)
+    xy = (y[..., :2] * 2.0 + (anchor_points[None, :, None, :] - 0.5)) * stride_tensor[None, :, None, :]
+    if ndim == 3:
+        v = jax.nn.sigmoid(y[..., 2:3])
+        y = jnp.concatenate([xy, v], axis=-1)
+    else:
+        y = xy
+    return y.reshape(B, A, nk)
+
+
+class OBB(nn.Module):
+    """YOLOv8 oriented-box head (head.py:130-159): Detect towers + per-level
+    angle towers. Returns (det_feats, angle (B, A, ne)) with angle already
+    mapped to [-pi/4, 3pi/4] via (sigmoid - 0.25) * pi."""
+
+    nc: int = 15
+    ne: int = 1
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
+        c4 = max(self.ch[0] // 4, self.ne)
+        B = xs[0].shape[0]
+        angs = []
+        for i, x in enumerate(xs):
+            a = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_0")(x, training)
+            a = ConvBN(c4, 3, dtype=self.dtype, name=f"cv4_{i}_1")(a, training)
+            a = nn.Conv(self.ne, (1, 1), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype,
+                        name=f"cv4_{i}_2")(a)
+            angs.append(a.reshape(B, -1, self.ne))
+        angle = jnp.concatenate(angs, axis=1).astype(jnp.float32)
+        angle = (jax.nn.sigmoid(angle) - 0.25) * math.pi
+        feats = _v8_towers(xs, self.nc, self.ch, self.strides, self.reg_max, self.dtype, training)
+        return feats, angle
+
+
+def dist2rbox(pred_dist: jnp.ndarray, angle: jnp.ndarray, anchor_points: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-box decode (tal.py:329-345 dist2rbox): rotate the lt/rb offset
+    midpoint by the predicted angle. Returns (..., 4) = [x, y, w, h]."""
+    lt, rb = jnp.split(pred_dist, 2, axis=-1)
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    xf, yf = jnp.split((rb - lt) / 2, 2, axis=-1)
+    x = xf * cos - yf * sin
+    y = xf * sin + yf * cos
+    xy = jnp.concatenate([x, y], axis=-1) + anchor_points
+    return jnp.concatenate([xy, lt + rb], axis=-1)
+
+
+class Classify(nn.Module):
+    """YOLOv8 classification head (head.py:202-222): conv 1280 -> global
+    avg-pool -> linear(nc). Returns logits (B, nc)."""
+
+    nc: int = 1000
+    c_: int = 1280
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = ConvBN(self.c_, 1, 1, dtype=self.dtype, name="conv")(x, training)
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool
+        return nn.Dense(self.nc, kernel_init=kaiming_uniform(), dtype=self.dtype, name="linear")(x)
 
 
 class V10Detect(nn.Module):
@@ -229,6 +335,28 @@ def decode_feats_topk(
     return jnp.concatenate(
         [xywh2xyxy(out_boxes), out_scores[..., None], labels[..., None].astype(out_boxes.dtype)],
         axis=-1,
+    )
+
+
+def decode_feats_obb(
+    feats: Sequence[jnp.ndarray],
+    angle: jnp.ndarray,  # (B, A, 1) in radians
+    strides: Sequence[float],
+    nc: int,
+    reg_max: int = 16,
+) -> jnp.ndarray:
+    """Rotated-box decode for the OBB head (OBB.decode_bboxes semantics):
+    returns (B, A, 4+nc+1) = [cx, cy, w, h (rotated), sigmoid cls, angle]."""
+    B = feats[0].shape[0]
+    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+    no = feats[0].shape[-1]
+    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)
+    box_logits, cls_logits = flat[..., : 4 * reg_max], flat[..., 4 * reg_max :]
+    anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
+    dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)
+    rbox = dist2rbox(dist, angle, anchor_points) * stride_tensor
+    return jnp.concatenate(
+        [rbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32)), angle], axis=-1
     )
 
 

@@ -42,8 +42,11 @@ def kaiming_uniform() -> KernelInit:
     """torch Conv2d default init (kaiming_uniform with a=sqrt(5)) for HWIO kernels."""
 
     def init(key, shape, dtype=jnp.float32):
-        # fan_in = in_channels/groups * kh * kw = prod of all but last dim
-        fan_in = shape[0] * shape[1] * shape[2]
+        # fan_in = prod of all but the output (last) dim — works for HWIO conv
+        # kernels and (in, out) dense kernels alike
+        fan_in = 1
+        for d in shape[:-1]:
+            fan_in *= d
         bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0) * math.sqrt(2.0 / (1 + 5.0))
         return jax.random.uniform(key, shape, dtype, -bound, bound)
 

@@ -50,9 +50,11 @@ def test_entrypoint_special_modes(capsys):
     assert "usage" in capsys.readouterr().out.lower()
 
 
-def test_entrypoint_unknown_task():
-    with pytest.raises(NotImplementedError):
-        entrypoint(["classify", "train", "data=x.yaml"])
+def test_entrypoint_task_default_models():
+    from lpc_yolo_tpu.cfg import entrypoint as ep  # noqa: F401 — import sanity
+
+    with pytest.raises(SyntaxError):
+        entrypoint(["detect", "train", "bogus_key=1"])
 
 
 def test_module_invocation_subprocess():
