@@ -242,3 +242,61 @@ class ValTransforms:
             "pad": pad,
             "path": item["path"],
         }
+
+
+class SegTrainTransforms:
+    """Letterbox + flips + HSV for segmentation training, rasterizing polygon
+    labels into per-instance masks at proto resolution (imgsz/4).
+
+    Round-1 limitation vs the reference: no mosaic/affine on polygons yet —
+    geometric augmentation is letterbox+flip only (reference applies the full
+    pipeline to segments, augment.py:347-470).
+    """
+
+    def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 64, mask_ratio: int = 4):
+        self.imgsz = imgsz
+        self.hyp = {**DEFAULT_HYP, **(hyp or {})}
+        self.max_gt = max_gt
+        self.mask_ratio = mask_ratio
+        self.mosaic_enabled = False
+
+    def close_mosaic(self):
+        self.mosaic_enabled = False
+
+    def __call__(self, dataset, idx: int, rng: np.random.RandomState) -> Dict:
+        import cv2
+
+        item = dataset.get_item_raw(idx)
+        img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
+        h0, w0 = item["img"].shape[:2]
+        boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
+        segs = [
+            s * np.array([w0 * gain, h0 * gain], np.float32) + np.array([pad[0], pad[1]], np.float32)
+            for s in item["segments"]
+        ]
+        cls = item["cls"]
+        img = augment_hsv(np.ascontiguousarray(img), rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
+        if rng.rand() < self.hyp["fliplr"]:
+            img = np.ascontiguousarray(np.fliplr(img))
+            boxes[:, [0, 2]] = self.imgsz - boxes[:, [2, 0]]
+            segs = [np.stack([self.imgsz - s[:, 0], s[:, 1]], 1) for s in segs]
+
+        mh = mw = self.imgsz // self.mask_ratio
+        M = self.max_gt
+        n = min(len(boxes), M)
+        out_boxes = np.zeros((M, 4), np.float32)
+        out_cls = np.zeros((M,), np.int32)
+        mask = np.zeros((M,), bool)
+        masks = np.zeros((M, mh, mw), np.uint8)
+        r = 1.0 / self.mask_ratio
+        for j in range(n):
+            out_boxes[j] = boxes[j]
+            out_cls[j] = cls[j]
+            mask[j] = True
+            if len(segs[j]):
+                pts = (segs[j] * r).astype(np.int32)
+                cv2.fillPoly(masks[j], [pts], 1)
+            else:  # box-only label: rectangle mask
+                x1, y1, x2, y2 = (boxes[j] * r).astype(int)
+                masks[j, y1:y2, x1:x2] = 1
+        return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask, "masks": masks}

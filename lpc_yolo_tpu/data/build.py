@@ -25,6 +25,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
         "bboxes": np.stack([s["bboxes"] for s in samples]),
         "mask": np.stack([s["mask"] for s in samples]),
     }
+    if "masks" in samples[0]:
+        out["masks"] = np.stack([s["masks"] for s in samples])
     for k in ("orig_shape", "gain", "pad", "path"):
         if k in samples[0]:
             out[k] = [s[k] for s in samples]

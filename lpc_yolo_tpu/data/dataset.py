@@ -111,12 +111,33 @@ class YOLODataset:
                 pass
         labels = []
         for lf in self.label_files:
+            cls_list, box_list, seg_list = [], [], []
             if os.path.exists(lf):
-                rows = [l.split() for l in Path(lf).read_text().splitlines() if l.strip()]
-                arr = np.array(rows, dtype=np.float32).reshape(-1, 5)
-            else:
-                arr = np.zeros((0, 5), np.float32)
-            labels.append({"cls": arr[:, 0].astype(np.int32), "bboxes": arr[:, 1:5]})
+                for line in Path(lf).read_text().splitlines():
+                    vals = line.split()
+                    if not vals:
+                        continue
+                    c = int(float(vals[0]))
+                    coords = np.array(vals[1:], np.float32)
+                    if len(coords) == 4:  # box row: cls cx cy w h
+                        cls_list.append(c)
+                        box_list.append(coords)
+                        seg_list.append(np.zeros((0, 2), np.float32))
+                    elif len(coords) >= 6 and len(coords) % 2 == 0:  # polygon row
+                        pts = coords.reshape(-1, 2)
+                        lo, hi = pts.min(0), pts.max(0)
+                        cls_list.append(c)
+                        box_list.append(
+                            np.array([(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]], np.float32)
+                        )
+                        seg_list.append(pts)
+            labels.append(
+                {
+                    "cls": np.array(cls_list, np.int32),
+                    "bboxes": np.array(box_list, np.float32).reshape(-1, 4),
+                    "segments": seg_list,
+                }
+            )
         if cache:
             try:
                 np.savez_compressed(cpath, hash=key, labels=np.array(labels, dtype=object))
@@ -141,5 +162,6 @@ class YOLODataset:
             "img": self.load_image(i),
             "cls": self.labels[i]["cls"].copy(),
             "bboxes": self.labels[i]["bboxes"].copy(),
+            "segments": [s.copy() for s in self.labels[i].get("segments", [])],
             "path": self.im_files[i],
         }

@@ -23,6 +23,7 @@ def make_synthetic_dataset(
     nc: int = 3,
     max_boxes: int = 4,
     seed: int = 0,
+    segments: bool = False,
 ) -> str:
     """Create images/{train,val} + labels/{train,val} + data.yaml; returns yaml path."""
     import cv2
@@ -42,9 +43,16 @@ def make_synthetic_dataset(
                 x1 = rng.randint(0, imgsz - w)
                 y1 = rng.randint(0, imgsz - h)
                 cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), colors[c % len(colors)], -1)
-                rows.append(
-                    f"{c} {(x1 + w / 2) / imgsz:.6f} {(y1 + h / 2) / imgsz:.6f} {w / imgsz:.6f} {h / imgsz:.6f}"
-                )
+                if segments:  # polygon row (YOLO-seg format): the rectangle corners
+                    pts = [
+                        (x1 / imgsz, y1 / imgsz), ((x1 + w) / imgsz, y1 / imgsz),
+                        ((x1 + w) / imgsz, (y1 + h) / imgsz), (x1 / imgsz, (y1 + h) / imgsz),
+                    ]
+                    rows.append(f"{c} " + " ".join(f"{a:.6f} {b:.6f}" for a, b in pts))
+                else:
+                    rows.append(
+                        f"{c} {(x1 + w / 2) / imgsz:.6f} {(y1 + h / 2) / imgsz:.6f} {w / imgsz:.6f} {h / imgsz:.6f}"
+                    )
             cv2.imwrite(str(root / "images" / split / f"im{i:03d}.jpg"), img)
             (root / "labels" / split / f"im{i:03d}.txt").write_text("\n".join(rows) + "\n")
     data = {

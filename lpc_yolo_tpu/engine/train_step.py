@@ -26,6 +26,7 @@ from flax import struct
 from flax.core import FrozenDict
 
 from ..losses import v8_detection_loss, v10_detect_loss
+from ..losses.segment import v8_segmentation_loss
 
 
 class TrainState(struct.PyTreeNode):
@@ -142,6 +143,11 @@ def make_train_step(
         if loss_kind == "v10":
             total, items = v10_detect_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
+            )
+        elif loss_kind == "segment":
+            total, items = v8_segmentation_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], batch["masks"],
+                model.strides, model.nc,
             )
         else:
             feats = out["feats"] if isinstance(out, dict) else out  # Segment -> dict

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data import DataLoader, TrainTransforms, YOLODataset, check_det_dataset
+from ..data import DataLoader, SegTrainTransforms, TrainTransforms, YOLODataset, check_det_dataset
 from ..ops.letterbox import device_preprocess
 from ..parallel import data_parallel_mesh, replicate, shard_batch
 from ..utils.callbacks import CallbackRegistry
@@ -31,7 +31,11 @@ from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from .train_step import OptConfig, TrainState, init_train_state, make_train_step
 from .validator import Validator
 
-LOSS_NAMES = ["box_om", "cls_om", "dfl_om", "box_oo", "cls_oo", "dfl_oo"]
+LOSS_NAMES = {
+    "v10": ["box_om", "cls_om", "dfl_om", "box_oo", "cls_oo", "dfl_oo"],
+    "v8": ["box", "cls", "dfl"],
+    "segment": ["box", "seg", "cls", "dfl"],
+}
 
 
 class EarlyStopping:
@@ -103,8 +107,13 @@ class Trainer:
                 f"model nc={model.nc} != dataset nc={nc}; build the model with YOLO(cfg, nc={nc})"
             )
 
+        mods = {s.module for s in model.specs}
+        task = "v10" if "v10Detect" in mods else ("segment" if "Segment" in mods else "v8")
         dataset = YOLODataset(info["train"], imgsz=self.imgsz, augment=True, names=info["names"])
-        transforms = TrainTransforms(self.imgsz, self.hyp, self.max_gt)
+        if task == "segment":
+            transforms = SegTrainTransforms(self.imgsz, self.hyp, self.max_gt)
+        else:
+            transforms = TrainTransforms(self.imgsz, self.hyp, self.max_gt)
         loader = DataLoader(
             dataset, transforms, batch_size=self.batch, shuffle=True,
             workers=self.workers, seed=self.seed, infinite=True,
@@ -138,8 +147,8 @@ class Trainer:
             state, meta = load_checkpoint(ckpt_last, state)
             start_epoch = int(meta.get("epoch", -1)) + 1
 
-        loss_kind = "v10" if any(s.module == "v10Detect" for s in model.specs) else "v8"
-        train_step = make_train_step(model, tx, cfg, loss_kind=loss_kind)
+        train_step = make_train_step(model, tx, cfg, loss_kind=task)
+        loss_names = LOSS_NAMES.get(task, LOSS_NAMES["v8"])
 
         mesh = data_parallel_mesh(batch_size=self.batch)
         state = replicate(state, mesh)
@@ -163,17 +172,11 @@ class Trainer:
             mean_items = np.zeros(6)
             for _ in range(steps_per_epoch):
                 batch = next(data_iter)
-                device_batch = shard_batch(
-                    {
-                        "img": batch["img"],  # uint8 BGR; normalized+flipped on device
-                        "cls": batch["cls"],
-                        "bboxes": batch["bboxes"],
-                        "mask": batch["mask"],
-                    },
-                    mesh,
-                )
+                keys = ["img", "cls", "bboxes", "mask"] + (["masks"] if "masks" in batch else [])
+                device_batch = shard_batch({k: batch[k] for k in keys}, mesh)
                 state, metrics = train_step(state, device_batch)
-                mean_items += np.asarray(metrics["items"]).reshape(-1)[:6] / steps_per_epoch
+                it = np.asarray(metrics["items"]).reshape(-1)[:6]
+                mean_items[: len(it)] += it / steps_per_epoch
 
             results: Dict[str, float] = {}
             if self.do_val and info.get("val"):
@@ -188,7 +191,7 @@ class Trainer:
 
             row = {
                 "epoch": epoch,
-                **{f"train/{n}": round(float(v), 5) for n, v in zip(LOSS_NAMES, mean_items)},
+                **{f"train/{n}": round(float(v), 5) for n, v in zip(loss_names, mean_items)},
                 **{k: round(float(v), 5) for k, v in results.items()},
                 "lr": float(metrics["lr"]),
                 "time_s": round(time.time() - t0, 1),
@@ -201,7 +204,7 @@ class Trainer:
                 w.writerow(row)
             print(
                 f"epoch {epoch + 1}/{self.epochs} "
-                + " ".join(f"{n}={v:.3f}" for n, v in zip(LOSS_NAMES, mean_items))
+                + " ".join(f"{n}={v:.3f}" for n, v in zip(loss_names, mean_items))
                 + (f" mAP50-95={results.get('metrics/mAP50-95(B)', 0):.4f}" if results else "")
             )
             self.last_metrics = row

@@ -54,7 +54,8 @@ def v8_detection_loss(
     box_gain: float = 7.5,
     cls_gain: float = 0.5,
     dfl_gain: float = 1.5,
-) -> Tuple[jnp.ndarray, LossItems]:
+    return_assign: bool = False,
+):
     """One head-branch detection loss (loss.py:186-249). Returns
     (total_loss * batch_size, detached per-term items)."""
     B = feats[0].shape[0]
@@ -107,6 +108,14 @@ def v8_detection_loss(
 
     items = LossItems(loss_box * box_gain, loss_cls * cls_gain, loss_dfl * dfl_gain)
     total = (items.box + items.cls + items.dfl) * B
+    if return_assign:
+        aux = {
+            "assign": assign,
+            "target_scores_sum": target_scores_sum,
+            "fg": fg,
+            "stride_tensor": stride_tensor,
+        }
+        return total, jax.lax.stop_gradient(items), aux
     return total, jax.lax.stop_gradient(items)
 
 

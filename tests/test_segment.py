@@ -55,6 +55,33 @@ def test_process_mask_shapes():
     assert float(mu.min()) >= 0 and float(mu.max()) <= 1
 
 
+def test_seg_training_step(tmp_path):
+    """1-epoch seg training on synthetic polygon labels: loss finite, ckpts out."""
+    from lpc_yolo_tpu.data import make_synthetic_dataset
+
+    y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=96, nc=2, segments=True)
+    m = YOLO("yolov8-seg.yaml", nc=2)
+    res = m.train(data=y, epochs=1, batch=4, imgsz=96, workers=2, max_gt=8,
+                  close_mosaic=0, save_dir=str(tmp_path / "run"))
+    csv_text = (tmp_path / "run" / "results.csv").read_text()
+    assert "train/seg" in csv_text
+    assert (tmp_path / "run" / "weights" / "last.ckpt").exists()
+
+
+def test_polygon_label_parsing(tmp_path):
+    from lpc_yolo_tpu.data import YOLODataset, make_synthetic_dataset, check_det_dataset
+
+    y = make_synthetic_dataset(tmp_path / "ds", n_train=2, n_val=1, imgsz=96, nc=2, segments=True)
+    info = check_det_dataset(y)
+    ds = YOLODataset(info["train"], cache=False)
+    item = ds.get_item_raw(0)
+    assert len(item["segments"]) == len(item["cls"])
+    assert all(len(s) == 4 for s in item["segments"])  # rectangle polygons
+    # derived boxes bound the polygons
+    for s, b in zip(item["segments"], item["bboxes"]):
+        np.testing.assert_allclose(s[:, 0].min(), b[0] - b[2] / 2, atol=1e-5)
+
+
 def test_seg_predict_end_to_end():
     m = YOLO("yolov8-seg.yaml")
     assert m.task == "segment"
