@@ -6,8 +6,10 @@ Behavioral spec: reference ultralytics/solutions/ — object counting
 predict/track streams.
 """
 
-from .object_counter import ObjectCounter
+from .ai_gym import AIGym
+from .distance_calculation import DistanceCalculation
 from .heatmap import Heatmap
+from .object_counter import ObjectCounter
 from .speed_estimator import SpeedEstimator
 
-__all__ = ["ObjectCounter", "Heatmap", "SpeedEstimator"]
+__all__ = ["AIGym", "DistanceCalculation", "Heatmap", "ObjectCounter", "SpeedEstimator"]

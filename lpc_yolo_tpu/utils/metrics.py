@@ -27,6 +27,42 @@ def box_iou_np(box1: np.ndarray, box2: np.ndarray, eps: float = 1e-7) -> np.ndar
     return inter / (area1[:, None] + area2[None, :] - inter + eps)
 
 
+def probiou_np(obb1: np.ndarray, obb2: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Probabilistic IoU between rotated boxes (metrics.py:198-260).
+
+    obb1 (N, 5), obb2 (N, 5): [cx, cy, w, h, angle]; elementwise (N,).
+    Gaussian-bhattacharyya-distance-based similarity in [0, 1].
+    """
+
+    def covariance(obb):
+        w, h, r = obb[:, 2], obb[:, 3], obb[:, 4]
+        a, b = (w**2) / 12.0, (h**2) / 12.0
+        cos, sin = np.cos(r), np.sin(r)
+        return (
+            a * cos**2 + b * sin**2,
+            a * sin**2 + b * cos**2,
+            (a - b) * cos * sin,
+        )
+
+    x1, y1 = obb1[:, 0], obb1[:, 1]
+    x2, y2 = obb2[:, 0], obb2[:, 1]
+    a1, b1, c1 = covariance(obb1)
+    a2, b2, c2 = covariance(obb2)
+
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / (
+        (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    ) * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps) * 0.5
+    t3 = np.log(
+        ((a1 + a2) * (b1 + b2) - (c1 + c2) ** 2)
+        / (4 * np.sqrt(np.clip(a1 * b1 - c1**2, 0, None) * np.clip(a2 * b2 - c2**2, 0, None)) + eps)
+        + eps
+    ) * 0.5
+    bd = np.clip(t1 + t2 + t3, eps, 100.0)
+    hd = np.sqrt(1.0 - np.exp(-bd) + eps)
+    return 1.0 - hd
+
+
 def match_predictions(
     pred_classes: np.ndarray,  # (N,)
     true_classes: np.ndarray,  # (M,)

@@ -148,3 +148,44 @@ def test_distributed_single_host():
     assert broadcast_scalar(3.5) == 3.5
     with main_process_first():
         pass
+
+
+def test_distance_and_gym():
+    from lpc_yolo_tpu.solutions import AIGym, DistanceCalculation
+
+    # two tracked objects, fixed positions
+    img = np.zeros((240, 320, 3), np.uint8)
+    det = np.array(
+        [[40, 100, 90, 150, 1, 0.9, 0], [200, 100, 250, 150, 2, 0.9, 0]], np.float32
+    )
+    r = Results(img, "f", {0: "p"}, boxes=det)
+    dc = DistanceCalculation(pixels_per_meter=10)
+    d = dc.update(r)
+    assert abs(d[(1, 2)] - 16.0) < 1e-5  # 160 px / 10 ppm
+
+    gym = AIGym(kpt_indices=(0, 1, 2))
+    def pose_frame(angle_deg):
+        kp = np.zeros((1, 3, 3), np.float32)
+        kp[0, 0, :2] = [0, 0]
+        kp[0, 1, :2] = [10, 0]
+        # place c so that the angle at joint b (between b->a and b->c) is angle_deg
+        a = np.radians(180 - angle_deg)
+        kp[0, 2, :2] = [10 + 10 * np.cos(a), 10 * np.sin(a)]
+        rr = Results(img, "f", {0: "p"}, boxes=det[:1])
+        rr.keypoints = kp
+        return rr
+    for ang in (170, 60, 170, 60, 170):  # two full reps
+        counts = gym.update(pose_frame(ang))
+    assert counts.get(1, 0) == 2
+
+
+def test_probiou():
+    from lpc_yolo_tpu.utils.metrics import probiou_np
+
+    a = np.array([[50, 50, 20, 10, 0.0]], np.float32)
+    same = probiou_np(a, a)
+    assert same[0] > 0.99
+    rot = np.array([[50, 50, 20, 10, np.pi / 2]], np.float32)
+    far = np.array([[150, 150, 20, 10, 0.0]], np.float32)
+    assert probiou_np(a, rot)[0] < same[0]
+    assert probiou_np(a, far)[0] < 0.1
