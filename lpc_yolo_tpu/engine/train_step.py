@@ -94,11 +94,14 @@ def make_optimizer(params, cfg: OptConfig) -> optax.GradientTransformation:
             ),
         )
         return base
-    # SGD + nesterov momentum + decoupled weight decay on kernels.
+    # SGD + nesterov momentum (warmed 0.8 -> momentum like trainer.py:366-375)
+    # + decoupled weight decay on kernels.
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask(params)),
-        optax.trace(decay=cfg.momentum, nesterov=True),
+        optax.inject_hyperparams(optax.trace)(
+            decay=lambda step: momentum_at(step, cfg), nesterov=True
+        ),
         optax.scale_by_learning_rate(sched),
     )
 

@@ -99,6 +99,19 @@ def test_train_val_predict_resume(ds, tmp_path):
     assert len(out) == 1  # Results object produced (detections may be empty)
 
 
+def test_v8_train_and_nms_predict(ds, tmp_path):
+    """The classic v8 Detect head trains (v8 loss) and predicts via the NMS path."""
+    m = YOLO("yolov8.yaml", nc=3)
+    assert m.task == "v8"
+    res = m.train(
+        data=ds, epochs=1, batch=4, imgsz=128, workers=2, max_gt=16,
+        close_mosaic=0, save_dir=str(tmp_path / "run"), optimizer="sgd",
+    )
+    assert "train/box" in (tmp_path / "run" / "results.csv").read_text()
+    out = m.predict(str(Path(ds).parent / "images" / "val" / "im000.jpg"), imgsz=128)
+    assert len(out) == 1
+
+
 def test_validator_standalone(ds):
     m = YOLO("yolov10n.yaml", nc=3)
     res = m.val(data=ds, imgsz=128, batch=4, max_gt=32)
