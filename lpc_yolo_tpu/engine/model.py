@@ -67,8 +67,8 @@ class YOLO:
     def _guess_task(yaml_path: Path) -> str:
         text = Path(yaml_path).read_text()
         for key, task in (
-            ("v10Detect", "v10"), ("Segment", "segment"), ("Pose", "pose"),
-            ("OBB", "obb"), ("Classify", "classify"),
+            ("v10Detect", "v10"), ("RTDETRDecoder", "rtdetr"), ("Segment", "segment"),
+            ("Pose", "pose"), ("OBB", "obb"), ("Classify", "classify"),
         ):
             if key in text:
                 return task
@@ -102,8 +102,8 @@ class YOLO:
             self.names = {int(k): str(v) for k, v in names.items()}
         mods = {s.module for s in self.model.specs}
         for key, task in (
-            ("v10Detect", "v10"), ("Segment", "segment"), ("Pose", "pose"),
-            ("OBB", "obb"), ("Classify", "classify"),
+            ("v10Detect", "v10"), ("RTDETRDecoder", "rtdetr"), ("Segment", "segment"),
+            ("Pose", "pose"), ("OBB", "obb"), ("Classify", "classify"),
         ):
             if key in mods:
                 self.task = task

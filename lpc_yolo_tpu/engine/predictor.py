@@ -118,6 +118,15 @@ class Predictor:
         if self.task == "classify":
             return out["probs"]
         pred = out["pred"]
+        if self.task == "rtdetr":
+            # DETR: no NMS; normalized cxcywh -> letterbox pixels, best class
+            from ..ops.boxes import xywh2xyxy
+
+            boxes = xywh2xyxy(pred[..., :4]) * self.imgsz
+            scores = pred[..., 4:]
+            best = jnp.max(scores, axis=-1)
+            labels = jnp.argmax(scores, axis=-1).astype(boxes.dtype)
+            return jnp.concatenate([boxes, best[..., None], labels[..., None]], axis=-1)
         if self.task == "pose":
             det, aidx = non_max_suppression(
                 pred, self.conf, self.iou, self.max_det, return_anchor_idx=True

@@ -27,6 +27,7 @@ import yaml
 from flax import linen as nn
 
 from . import modules as M
+from .transformer import RTDETRDecoder
 from .heads import (
     OBB,
     Classify,
@@ -59,7 +60,7 @@ _BASE = {
 # Base modules that additionally receive the (depth-scaled) repeat count.
 _REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA"}
 
-_HEADS = {"Detect", "v10Detect", "Segment", "Pose", "OBB"}
+_HEADS = {"Detect", "v10Detect", "Segment", "Pose", "OBB", "RTDETRDecoder"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -286,6 +287,14 @@ class DetectionModel(nn.Module):
                         return {"det": decode_feats_topk(out["one2one"], self.strides, self.nc, self.reg_max)}
                     out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
                     return out
+                elif spec.module == "RTDETRDecoder":
+                    head = RTDETRDecoder(
+                        nc=self.nc, ch=spec.args[-1], dtype=self.dtype, name=name,
+                    )
+                    out = head(xs, training)
+                    if training:
+                        return out
+                    return {"pred": out}  # (B, nq, 4+nc), normalized cxcywh + sigmoid cls
                 elif spec.module == "Pose":
                     kpt_shape = tuple(spec.args[1]) if len(spec.args) > 2 else (17, 3)
                     head = Pose(

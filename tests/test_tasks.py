@@ -67,3 +67,36 @@ def test_pose_predict():
     if len(r):
         assert r.keypoints is not None
         assert r.keypoints.shape[1:] == (17, 3)
+
+
+def test_rtdetr_build_and_predict():
+    """RTDETR: exact reference param count (9,623,388 ex the training-only
+    denoising embedding), train/eval outputs, NMS-free predict."""
+    m = build_model(CFG / "v8/yolov8-rtdetr.yaml")
+    shapes = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), training=True))
+    n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
+    assert n == 9_623_388
+
+    y = YOLO("yolov8-rtdetr.yaml")
+    assert y.task == "rtdetr"
+    out = y.model.apply(y.variables, jnp.zeros((1, 128, 128, 3)), training=False)
+    assert out["pred"].shape == (1, 300, 84)
+    tr, _ = y.model.apply(y.variables, jnp.zeros((1, 128, 128, 3)), training=True, mutable=["batch_stats"])
+    assert tr["dec_bboxes"].shape == (6, 1, 300, 4)
+    img = (np.random.rand(96, 128, 3) * 255).astype(np.uint8)
+    r = y.predict(img, imgsz=128, conf=1e-6)[0]
+    assert len(r) > 0  # sigmoid scores, no NMS: rows survive a tiny conf
+
+
+def test_bilinear_sample_matches_manual():
+    from lpc_yolo_tpu.nn.transformer import bilinear_sample
+
+    v = jnp.asarray(np.arange(12, dtype=np.float32).reshape(3, 4, 1))
+    # center of pixel (1,2) in align_corners=False normalized coords
+    gx = (2 + 0.5) / 4 * 2 - 1
+    gy = (1 + 0.5) / 3 * 2 - 1
+    out = bilinear_sample(v, jnp.asarray([[gx, gy]]))
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 6.0, atol=1e-5)
+    # far outside -> zeros padding
+    out = bilinear_sample(v, jnp.asarray([[-5.0, -5.0]]))
+    np.testing.assert_allclose(np.asarray(out)[0, 0], 0.0)
