@@ -2,6 +2,7 @@
 
 from .augment import DEFAULT_HYP, SegTrainTransforms, TrainTransforms, ValTransforms
 from .build import DataLoader, collate
+from .classify import ClassificationDataset, ClsTransforms, check_cls_dataset
 from .dataset import YOLODataset, check_det_dataset, img2label_path
 from .synthetic import make_synthetic_dataset
 
@@ -13,6 +14,9 @@ __all__ = [
     "DataLoader",
     "collate",
     "YOLODataset",
+    "ClassificationDataset",
+    "ClsTransforms",
+    "check_cls_dataset",
     "check_det_dataset",
     "img2label_path",
     "make_synthetic_dataset",

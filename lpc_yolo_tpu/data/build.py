@@ -19,14 +19,14 @@ import numpy as np
 
 
 def collate(samples) -> Dict[str, np.ndarray]:
-    out = {
-        "img": np.stack([s["img"] for s in samples]),
-        "cls": np.stack([s["cls"] for s in samples]),
-        "bboxes": np.stack([s["bboxes"] for s in samples]),
-        "mask": np.stack([s["mask"] for s in samples]),
-    }
+    out = {"img": np.stack([s["img"] for s in samples])}
+    for k in ("cls", "bboxes", "mask"):
+        if k in samples[0]:
+            out[k] = np.stack([s[k] for s in samples])
     if "masks" in samples[0]:
         out["masks"] = np.stack([s["masks"] for s in samples])
+    if "label" in samples[0]:
+        out["label"] = np.stack([s["label"] for s in samples])
     for k in ("orig_shape", "gain", "pad", "path"):
         if k in samples[0]:
             out[k] = [s[k] for s in samples]

@@ -162,6 +162,10 @@ class YOLO:
         return v(data)
 
     def train(self, **kw):
+        if self.task == "classify":
+            from .classify import train_classifier
+
+            return train_classifier(self, **kw)
         from .trainer import Trainer
 
         t = Trainer(self, **kw)

@@ -100,3 +100,40 @@ def test_bilinear_sample_matches_manual():
     # far outside -> zeros padding
     out = bilinear_sample(v, jnp.asarray([[-5.0, -5.0]]))
     np.testing.assert_allclose(np.asarray(out)[0, 0], 0.0)
+
+
+@pytest.fixture(scope="module")
+def cls_ds(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("clsds") / "cls"
+    rng = np.random.RandomState(0)
+    colors = {"red": (40, 40, 200), "green": (40, 200, 40)}
+    for split, n in (("train", 6), ("val", 4)):
+        for cname, col in colors.items():
+            d = root / split / cname
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n):
+                img = np.clip(np.full((64, 64, 3), col, np.int16) + rng.randint(-20, 20, (64, 64, 3)), 0, 255)
+                cv2.imwrite(str(d / f"{i}.jpg"), img.astype(np.uint8))
+    return str(root)
+
+
+def test_classify_dataset(cls_ds):
+    from lpc_yolo_tpu.data import ClassificationDataset, check_cls_dataset
+
+    info = check_cls_dataset(cls_ds)
+    assert info["nc"] == 2 and info["names"] == {0: "green", 1: "red"}
+    ds = ClassificationDataset(info["train"])
+    assert len(ds) == 12
+    item = ds.get_item_raw(0)
+    assert item["label"] in (0, 1)
+
+
+def test_classify_train_loop(cls_ds, tmp_path):
+    m = YOLO("yolov8-cls.yaml", nc=2)
+    res = m.train(data=cls_ds, epochs=2, batch=4, imgsz=64, workers=2, save_dir=str(tmp_path / "run"))
+    assert {"metrics/accuracy_top1", "metrics/accuracy_top5"} <= set(res)
+    csv_text = (tmp_path / "run" / "results.csv").read_text()
+    losses = [float(l.split(",")[1]) for l in csv_text.strip().splitlines()[1:]]
+    assert losses[-1] < losses[0]  # CE decreases even in 2 tiny epochs
