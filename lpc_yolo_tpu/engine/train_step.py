@@ -147,6 +147,12 @@ def make_train_step(
             total, items = v10_detect_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc
             )
+        elif loss_kind == "rtdetr":
+            from ..losses.detr import rtdetr_loss
+
+            total, items = rtdetr_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], img.shape[1:3]
+            )
         elif loss_kind == "segment":
             total, items = v8_segmentation_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], batch["masks"],

@@ -35,6 +35,7 @@ LOSS_NAMES = {
     "v10": ["box_om", "cls_om", "dfl_om", "box_oo", "cls_oo", "dfl_oo"],
     "v8": ["box", "cls", "dfl"],
     "segment": ["box", "seg", "cls", "dfl"],
+    "rtdetr": ["cls", "l1", "giou"],
 }
 
 
@@ -108,7 +109,14 @@ class Trainer:
             )
 
         mods = {s.module for s in model.specs}
-        task = "v10" if "v10Detect" in mods else ("segment" if "Segment" in mods else "v8")
+        if "v10Detect" in mods:
+            task = "v10"
+        elif "RTDETRDecoder" in mods:
+            task = "rtdetr"
+        elif "Segment" in mods:
+            task = "segment"
+        else:
+            task = "v8"
         dataset = YOLODataset(info["train"], imgsz=self.imgsz, augment=True, names=info["names"])
         if task == "segment":
             transforms = SegTrainTransforms(self.imgsz, self.hyp, self.max_gt)

@@ -68,6 +68,14 @@ class Validator:
             out = model.apply(variables, x, training=False, predict_only=True)
             if task == "v10":
                 return out["det"]
+            if task == "rtdetr":
+                from ..ops.boxes import xywh2xyxy
+
+                pred = out["pred"]
+                boxes = xywh2xyxy(pred[..., :4]) * self.imgsz
+                best = jnp.max(pred[..., 4:], axis=-1)
+                labels = jnp.argmax(pred[..., 4:], axis=-1).astype(boxes.dtype)
+                return jnp.concatenate([boxes, best[..., None], labels[..., None]], axis=-1)
             return non_max_suppression(out["pred"], self.conf, 0.45, self.max_det)
 
         return predict

@@ -1,0 +1,148 @@
+"""Hungarian matcher + DETR loss for RT-DETR training.
+
+Behavioral spec: reference ultralytics/models/utils/ops.py:12-110
+(HungarianMatcher: focal class cost + L1 + GIoU, gains {class:2? -> reference
+default cost_gain = {'class': 1, 'bbox': 5, 'giou': 2}}) and
+models/utils/loss.py:12-220 (DETRLoss: per-layer aux losses, one-hot BCE class
+loss, L1 + GIoU box losses normalized by gt count).
+
+TPU design: costs are computed fully in-graph; the assignment itself (an
+inherently sequential combinatorial step over a 300 x M matrix) runs through
+jax.pure_callback to scipy's linear_sum_assignment per image — a small host
+round-trip per step, candidate for an in-graph auction solver later. Static
+shapes: gts padded to M with a validity mask; unmatched/pad entries carry
+zero weight.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import bbox_iou, xywh2xyxy
+
+
+def _focal_class_cost(scores: jnp.ndarray, gt_cls: jnp.ndarray, alpha: float = 0.25, gamma: float = 2.0) -> jnp.ndarray:
+    """(B, nq, nc) sigmoid scores x (B, M) labels -> (B, nq, M) focal cost
+    (models/utils/ops.py:60-70)."""
+    pos = alpha * ((1 - scores) ** gamma) * (-jnp.log(scores + 1e-8))
+    neg = (1 - alpha) * (scores**gamma) * (-jnp.log(1 - scores + 1e-8))
+    cost = pos - neg  # (B, nq, nc)
+    return jnp.take_along_axis(
+        cost, jnp.clip(gt_cls, 0, scores.shape[-1] - 1)[:, None, :], axis=2
+    )  # (B, nq, M)
+
+
+def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Host-side per-image Hungarian: returns, per gt slot, the matched query
+    index (or -1 for padding)."""
+    from scipy.optimize import linear_sum_assignment
+
+    B, nq, M = cost.shape
+    out = np.full((B, M), -1, np.int32)
+    for b in range(B):
+        k = int(n_valid[b])
+        if k == 0:
+            continue
+        r, c = linear_sum_assignment(cost[b, :, :k])
+        out[b, c] = r.astype(np.int32)
+    return out
+
+
+def hungarian_match(
+    pred_boxes: jnp.ndarray,  # (B, nq, 4) normalized cxcywh
+    pred_logits: jnp.ndarray,  # (B, nq, nc)
+    gt_boxes: jnp.ndarray,  # (B, M, 4) normalized cxcywh
+    gt_cls: jnp.ndarray,  # (B, M)
+    mask_gt: jnp.ndarray,  # (B, M)
+    cost_gain: Tuple[float, float, float] = (2.0, 5.0, 2.0),  # class, bbox, giou
+) -> jnp.ndarray:
+    """Returns (B, M) matched query index per gt (-1 for padded gts)."""
+    scores = jax.nn.sigmoid(pred_logits)
+    c_cls = _focal_class_cost(scores, gt_cls)  # (B, nq, M)
+    c_l1 = jnp.sum(jnp.abs(pred_boxes[:, :, None, :] - gt_boxes[:, None, :, :]), axis=-1)
+    giou = bbox_iou(
+        xywh2xyxy(pred_boxes)[:, :, None, :], xywh2xyxy(gt_boxes)[:, None, :, :], xywh=False, GIoU=True
+    ).squeeze(-1)
+    cost = cost_gain[0] * c_cls + cost_gain[1] * c_l1 + cost_gain[2] * (1.0 - giou)
+    cost = jnp.where(jnp.isfinite(cost), cost, 1e6)
+    cost = jax.lax.stop_gradient(cost)
+    n_valid = jnp.sum(mask_gt, axis=-1).astype(jnp.int32)
+
+    B, _, M = cost.shape
+    return jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((B, M), jnp.int32),
+        cost,
+        n_valid,
+        vmap_method="sequential",
+    )
+
+
+def detr_loss(
+    dec_bboxes: jnp.ndarray,  # (L, B, nq, 4) normalized cxcywh
+    dec_scores: jnp.ndarray,  # (L, B, nq, nc) logits
+    gt_boxes: jnp.ndarray,  # (B, M, 4) normalized cxcywh
+    gt_cls: jnp.ndarray,  # (B, M)
+    mask_gt: jnp.ndarray,  # (B, M)
+    gain_class: float = 1.0,
+    gain_bbox: float = 5.0,
+    gain_giou: float = 2.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aux-supervised DETR loss over all decoder layers (loss.py:12-220).
+
+    Returns (total, (3,) detached items = [class, bbox, giou] of the last layer).
+    """
+    from .detection import optax_sigmoid_bce
+
+    L, B, nq, nc = dec_scores.shape
+    num_gts = jnp.maximum(jnp.sum(mask_gt), 1.0)
+    total = 0.0
+    last_items = None
+    for l in range(L):
+        pb, ps = dec_bboxes[l], dec_scores[l]
+        match = hungarian_match(pb, ps, gt_boxes, gt_cls, mask_gt)  # (B, M)
+        valid = (match >= 0) & mask_gt  # (B, M)
+        safe = jnp.clip(match, 0, nq - 1)
+
+        # class: one-hot targets at matched queries, BCE over all queries
+        tgt = jnp.zeros((B, nq, nc))
+        b_ix = jnp.arange(B)[:, None]
+        onehot = jax.nn.one_hot(jnp.clip(gt_cls, 0, nc - 1), nc) * valid[..., None]
+        tgt = tgt.at[b_ix, safe].add(onehot)
+        loss_cls = jnp.sum(optax_sigmoid_bce(ps, tgt)) / num_gts / nq * nc
+
+        # box terms on matched pairs
+        mp = jnp.take_along_axis(pb, safe[..., None], axis=1)  # (B, M, 4)
+        l1 = jnp.sum(jnp.abs(mp - gt_boxes), axis=-1) * valid
+        giou = bbox_iou(xywh2xyxy(mp), xywh2xyxy(gt_boxes), xywh=False, GIoU=True).squeeze(-1)
+        loss_bbox = jnp.sum(l1) / num_gts
+        loss_giou = jnp.sum((1.0 - giou) * valid) / num_gts
+
+        layer_total = gain_class * loss_cls + gain_bbox * loss_bbox + gain_giou * loss_giou
+        total = total + layer_total
+        last_items = jnp.stack([loss_cls, loss_bbox, loss_giou])
+    return total, jax.lax.stop_gradient(last_items)
+
+
+def rtdetr_loss(out: Dict, gt_labels, gt_bboxes_px, mask_gt, imgsz: Tuple[int, int]):
+    """Adapter for the trainer: pixel-xyxy gts -> normalized cxcywh, decoder +
+    encoder aux losses (RTDETRDetectionModel.loss semantics)."""
+    h, w = imgsz
+    scale = jnp.array([w, h, w, h], jnp.float32)
+    xyxy_n = gt_bboxes_px / scale
+    cxcywh = jnp.concatenate(
+        [(xyxy_n[..., :2] + xyxy_n[..., 2:]) / 2, xyxy_n[..., 2:] - xyxy_n[..., :2]], axis=-1
+    )
+    total, items = detr_loss(
+        out["dec_bboxes"], out["dec_scores"], cxcywh, gt_labels, mask_gt
+    )
+    enc_total, _ = detr_loss(
+        out["enc_bboxes"][None], out["enc_scores"][None], cxcywh, gt_labels, mask_gt
+    )
+    return total + enc_total, items

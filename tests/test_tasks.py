@@ -137,3 +137,29 @@ def test_classify_train_loop(cls_ds, tmp_path):
     csv_text = (tmp_path / "run" / "results.csv").read_text()
     losses = [float(l.split(",")[1]) for l in csv_text.strip().splitlines()[1:]]
     assert losses[-1] < losses[0]  # CE decreases even in 2 tiny epochs
+
+
+def test_rtdetr_train_step(tmp_path):
+    """RTDETR DETR-loss training: 1 epoch on synthetic data, losses finite."""
+    from lpc_yolo_tpu.data import make_synthetic_dataset
+
+    y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=96, nc=2)
+    m = YOLO("yolov8-rtdetr.yaml", nc=2)
+    res = m.train(data=y, epochs=1, batch=4, imgsz=96, workers=2, max_gt=8,
+                  close_mosaic=0, save_dir=str(tmp_path / "run"))
+    csv_text = (tmp_path / "run" / "results.csv").read_text()
+    assert "train/giou" in csv_text
+
+
+def test_hungarian_match_prefers_overlap():
+    from lpc_yolo_tpu.losses.detr import hungarian_match
+
+    # two queries, one gt exactly matching query 1
+    pb = jnp.asarray([[[0.2, 0.2, 0.1, 0.1], [0.6, 0.6, 0.2, 0.2]]])
+    logits = jnp.zeros((1, 2, 3))
+    gtb = jnp.asarray([[[0.6, 0.6, 0.2, 0.2], [0, 0, 0, 0]]])
+    gtc = jnp.asarray([[1, 0]], dtype=jnp.int32)
+    mask = jnp.asarray([[True, False]])
+    match = np.asarray(hungarian_match(pb, logits, gtb, gtc, mask))
+    assert match[0, 0] == 1  # gt 0 matched to query 1
+    assert match[0, 1] == -1  # padded gt unmatched
