@@ -33,7 +33,9 @@ DEFAULT_HYP = {
     "flipud": 0.0,
     "fliplr": 0.5,
     "mosaic": 1.0,
+    "mosaic9": 0.0,
     "mixup": 0.0,
+    "copy_paste": 0.0,
 }
 
 
@@ -161,6 +163,98 @@ def augment_hsv(img: np.ndarray, rng: np.random.RandomState, hgain: float, sgain
     return img
 
 
+def mosaic9(dataset, idx: int, rng: np.random.RandomState, imgsz: int) -> Dict:
+    """9-image mosaic on a 3x3 canvas (augment.py:212-280), cropped to 2*imgsz."""
+    import cv2
+
+    s = imgsz
+    indices = [idx] + [rng.randint(0, len(dataset)) for _ in range(8)]
+    canvas = np.full((s * 3, s * 3, 3), 114, np.uint8)
+    all_cls, all_boxes = [], []
+    hp = wp = -1  # previous tile dims
+    for i, index in enumerate(indices):
+        item = dataset.get_item_raw(index)
+        img = item["img"]
+        h0, w0 = img.shape[:2]
+        r = s / max(h0, w0)
+        if r != 1:
+            img = cv2.resize(img, (int(w0 * r), int(h0 * r)), interpolation=cv2.INTER_LINEAR)
+        h, w = img.shape[:2]
+        # tile placement (reference Mosaic._mosaic9 layout)
+        if i == 0:
+            c = s, s, s + w, s + h
+        elif i == 1:
+            c = s, s - h, s + w, s
+        elif i == 2:
+            c = s + wp, s - h, s + wp + w, s
+        elif i == 3:
+            c = s + w0p, s, s + w0p + w, s + h
+        elif i == 4:
+            c = s + w0p, s + hp, s + w0p + w, s + hp + h
+        elif i == 5:
+            c = s + w0p - w, s + hp, s + w0p, s + hp + h
+        elif i == 6:
+            c = s + w0p - wp - w, s + hp, s + w0p - wp, s + hp + h
+        elif i == 7:
+            c = s - w, s + hp - h, s, s + hp
+        else:
+            c = s - w, s + hp - hp0 - h, s, s + hp - hp0
+        if i == 0:
+            w0p, hp0 = w, h
+        padw, padh = c[:2]
+        x1, y1, x2, y2 = (max(x, 0) for x in c)
+        x2, y2 = min(x2, 3 * s), min(y2, 3 * s)
+        canvas[y1:y2, x1:x2] = img[(y1 - padh):(y2 - padh), (x1 - padw):(x2 - padw)]
+        if len(item["bboxes"]):
+            all_boxes.append(xywhn_to_xyxy(item["bboxes"], w, h, padw, padh))
+            all_cls.append(item["cls"])
+        hp, wp = h, w
+    # center 2s x 2s crop with random offset (reference: border -s//2)
+    yc, xc = (int(rng.uniform(0, s)) for _ in range(2))
+    canvas = canvas[yc : yc + 2 * s, xc : xc + 2 * s]
+    boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
+    cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.int32)
+    boxes = (boxes - np.array([xc, yc, xc, yc], np.float32)).clip(0, 2 * s)
+    keep = ((boxes[:, 2] - boxes[:, 0]) > 2) & ((boxes[:, 3] - boxes[:, 1]) > 2)
+    return {"img": canvas, "cls": cls[keep], "bboxes_xyxy": boxes[keep], "mosaic_border": (-s // 2, -s // 2)}
+
+
+def mixup(sample_a: Dict, sample_b: Dict, rng: np.random.RandomState) -> Dict:
+    """Beta(32,32) image blend with concatenated labels (augment.py:326-346)."""
+    r = rng.beta(32.0, 32.0)
+    img = (sample_a["img"].astype(np.float32) * r + sample_b["img"].astype(np.float32) * (1 - r)).astype(np.uint8)
+    return {
+        "img": img,
+        "cls": np.concatenate([sample_a["cls"], sample_b["cls"]]),
+        "bboxes_xyxy": np.concatenate([sample_a["bboxes_xyxy"], sample_b["bboxes_xyxy"]]),
+        "mosaic_border": sample_a.get("mosaic_border", (0, 0)),
+    }
+
+
+def copy_paste(img: np.ndarray, boxes: np.ndarray, cls: np.ndarray, rng: np.random.RandomState, p: float = 0.5):
+    """Box-level copy-paste (augment.py:753-818 simplified to rectangular
+    regions — the reference pastes segment polygons): flips object crops onto
+    low-overlap locations."""
+    from ..utils.metrics import box_iou_np
+
+    n = len(boxes)
+    if n == 0 or p <= 0:
+        return img, boxes, cls
+    img = img.copy()
+    w = img.shape[1]
+    new_boxes, new_cls = [boxes], [cls]
+    for j in rng.permutation(n)[: round(p * n)]:
+        x1, y1, x2, y2 = boxes[j].astype(int)
+        box_new = np.array([w - x2, y1, w - x1, y2], np.float32)  # horizontal mirror position
+        ioa = box_iou_np(box_new[None], boxes)
+        if (ioa < 0.30).all() and x2 > x1 and y2 > y1:
+            bw = x2 - x1
+            img[y1:y2, int(box_new[0]) : int(box_new[0]) + bw] = np.fliplr(img[y1:y2, x1:x2])
+            new_boxes.append(box_new[None])
+            new_cls.append(cls[j : j + 1])
+    return img, np.concatenate(new_boxes), np.concatenate(new_cls)
+
+
 class TrainTransforms:
     """Mosaic + affine + HSV + flip -> fixed (imgsz, imgsz) sample (v8_transforms)."""
 
@@ -178,8 +272,14 @@ class TrainTransforms:
         hyp = self.hyp
         use_mosaic = self.mosaic_enabled and rng.rand() < hyp["mosaic"]
         if use_mosaic:
-            m = mosaic4(dataset, idx, rng, self.imgsz)
+            mfn = mosaic9 if rng.rand() < hyp.get("mosaic9", 0.0) else mosaic4
+            m = mfn(dataset, idx, rng, self.imgsz)
+            if rng.rand() < hyp.get("mixup", 0.0):
+                m2 = mfn(dataset, rng.randint(0, len(dataset)), rng, self.imgsz)
+                m = mixup(m, m2, rng)
             img, boxes, cls = m["img"], m["bboxes_xyxy"], m["cls"]
+            if hyp.get("copy_paste", 0.0) > 0:
+                img, boxes, cls = copy_paste(img, boxes, cls, rng, hyp["copy_paste"])
             border = m["mosaic_border"]
         else:
             item = dataset.get_item_raw(idx)

@@ -525,6 +525,34 @@ class SpatialAttention(nn.Module):
         return x * nn.sigmoid(y)
 
 
+class RepConv(nn.Module):
+    """Train-time multi-branch conv (reference conv.py:175-260): 3x3 + 1x1
+    (+ identity BN when shapes allow), SiLU; deploys to one conv by kernel
+    padding+summation (a fuse.py-style transform, roadmap like RepVGGDW)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    g: int = 1
+    act: Any = "silu"
+    use_identity: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.k == 3
+        y1 = ConvBN(self.c2, 3, self.s, p=1, g=self.g, act=False, dtype=self.dtype, name="conv1")(x, training)
+        y2 = ConvBN(self.c2, 1, self.s, p=0, g=self.g, act=False, dtype=self.dtype, name="conv2")(x, training)
+        y = y1 + y2
+        if self.use_identity and x.shape[-1] == self.c2 and self.s == 1:
+            ident = nn.BatchNorm(
+                use_running_average=not training, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                dtype=self.dtype, name="bn",
+            )(x)
+            y = y + ident
+        return apply_act(y, self.act)
+
+
 class CBAM(nn.Module):
     """Convolutional Block Attention Module (reference conv.py CBAM — the
     variant wired into parse_model; YAML arg is the spatial kernel size)."""

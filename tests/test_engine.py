@@ -117,3 +117,32 @@ def test_validator_standalone(ds):
     res = m.val(data=ds, imgsz=128, batch=4, max_gt=32)
     assert set(res) >= {"metrics/precision(B)", "metrics/mAP50-95(B)"}
     assert all(np.isfinite(v) for v in res.values())
+
+
+def test_extended_augmentations(ds):
+    """Mosaic9 / MixUp / CopyPaste produce valid fixed-shape samples."""
+    from lpc_yolo_tpu.data.augment import TrainTransforms, copy_paste, mixup, mosaic4, mosaic9
+
+    info = check_det_dataset(ds)
+    dataset = YOLODataset(info["train"], imgsz=128)
+    rng = np.random.RandomState(0)
+
+    m9 = mosaic9(dataset, 0, rng, 128)
+    assert m9["img"].shape == (256, 256, 3)
+    assert (m9["bboxes_xyxy"] >= 0).all() and (m9["bboxes_xyxy"] <= 256).all()
+
+    a = mosaic4(dataset, 0, rng, 128)
+    b = mosaic4(dataset, 1, rng, 128)
+    mx = mixup(a, b, rng)
+    assert mx["img"].shape == a["img"].shape
+    assert len(mx["cls"]) == len(a["cls"]) + len(b["cls"])
+
+    img, boxes, cls = copy_paste(a["img"], a["bboxes_xyxy"], a["cls"], rng, p=1.0)
+    assert len(boxes) >= len(a["bboxes_xyxy"])
+
+    # full pipeline with all extras enabled stays fixed-shape
+    tf = TrainTransforms(128, {"mosaic9": 0.5, "mixup": 1.0, "copy_paste": 0.5}, max_gt=32)
+    for i in range(4):
+        s = tf(dataset, i, np.random.RandomState(i))
+        assert s["img"].shape == (128, 128, 3)
+        assert s["bboxes"].shape == (32, 4)
