@@ -1,6 +1,6 @@
 """Data layer: YOLO-format datasets, augmentation, fixed-shape batch loading."""
 
-from .augment import DEFAULT_HYP, SegTrainTransforms, TrainTransforms, ValTransforms
+from .augment import DEFAULT_HYP, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, ValTransforms
 from .build import DataLoader, collate
 from .classify import ClassificationDataset, ClsTransforms, check_cls_dataset
 from .dataset import YOLODataset, check_det_dataset, img2label_path
@@ -10,6 +10,7 @@ __all__ = [
     "DEFAULT_HYP",
     "TrainTransforms",
     "SegTrainTransforms",
+    "PoseTrainTransforms",
     "ValTransforms",
     "DataLoader",
     "collate",

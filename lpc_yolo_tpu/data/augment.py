@@ -400,3 +400,46 @@ class SegTrainTransforms:
                 x1, y1, x2, y2 = (boxes[j] * r).astype(int)
                 masks[j, y1:y2, x1:x2] = 1
         return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask, "masks": masks}
+
+
+class PoseTrainTransforms:
+    """Letterbox + HSV for pose training with keypoint coordinate transforms.
+
+    Round-1 limitation: no flips (left/right keypoint swap needs the dataset's
+    flip_idx map, reference augment.py:640-660) and no mosaic/affine on kpts.
+    """
+
+    def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 32,
+                 kpt_shape: Tuple[int, int] = (17, 3)):
+        self.imgsz = imgsz
+        self.hyp = {**DEFAULT_HYP, **(hyp or {})}
+        self.max_gt = max_gt
+        self.kpt_shape = tuple(kpt_shape)
+        self.mosaic_enabled = False
+
+    def close_mosaic(self):
+        self.mosaic_enabled = False
+
+    def __call__(self, dataset, idx: int, rng: np.random.RandomState) -> Dict:
+        item = dataset.get_item_raw(idx)
+        img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
+        h0, w0 = item["img"].shape[:2]
+        boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
+        kpts = item.get("keypoints", np.zeros((len(boxes),) + self.kpt_shape, np.float32)).copy()
+        if kpts.size:
+            kpts[..., 0] = kpts[..., 0] * w0 * gain + pad[0]
+            kpts[..., 1] = kpts[..., 1] * h0 * gain + pad[1]
+        img = augment_hsv(np.ascontiguousarray(img), rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
+
+        M = self.max_gt
+        n = min(len(boxes), M)
+        out_boxes = np.zeros((M, 4), np.float32)
+        out_cls = np.zeros((M,), np.int32)
+        mask = np.zeros((M,), bool)
+        out_kpts = np.zeros((M,) + self.kpt_shape, np.float32)
+        out_boxes[:n] = boxes[:n]
+        out_cls[:n] = item["cls"][:n]
+        mask[:n] = True
+        if kpts.size:
+            out_kpts[:n] = kpts[:n]
+        return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask, "keypoints": out_kpts}

@@ -27,6 +27,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
         out["masks"] = np.stack([s["masks"] for s in samples])
     if "label" in samples[0]:
         out["label"] = np.stack([s["label"] for s in samples])
+    if "keypoints" in samples[0]:
+        out["keypoints"] = np.stack([s["keypoints"] for s in samples])
     for k in ("orig_shape", "gain", "pad", "path"):
         if k in samples[0]:
             out[k] = [s[k] for s in samples]

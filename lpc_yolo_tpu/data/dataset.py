@@ -43,6 +43,8 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
         names = dict(enumerate(names))
     out["names"] = {int(k): str(v) for k, v in (names or {}).items()}
     out["nc"] = int(d.get("nc", len(out["names"])))
+    if d.get("kpt_shape"):
+        out["kpt_shape"] = tuple(d["kpt_shape"])
     if not out["names"]:
         out["names"] = {i: str(i) for i in range(out["nc"])}
     return out
@@ -65,8 +67,10 @@ class YOLODataset:
         hyp: Optional[Dict] = None,
         cache: bool = True,
         names: Optional[Dict[int, str]] = None,
+        kpt_shape: Optional[Tuple[int, int]] = None,
     ):
         self.img_path = str(img_path)
+        self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp or {}
@@ -110,8 +114,9 @@ class YOLODataset:
             except Exception:
                 pass
         labels = []
+        nkd = self.kpt_shape[0] * self.kpt_shape[1] if self.kpt_shape else -1
         for lf in self.label_files:
-            cls_list, box_list, seg_list = [], [], []
+            cls_list, box_list, seg_list, kpt_list = [], [], [], []
             if os.path.exists(lf):
                 for line in Path(lf).read_text().splitlines():
                     vals = line.split()
@@ -119,10 +124,17 @@ class YOLODataset:
                         continue
                     c = int(float(vals[0]))
                     coords = np.array(vals[1:], np.float32)
-                    if len(coords) == 4:  # box row: cls cx cy w h
+                    if self.kpt_shape and len(coords) == 4 + nkd:
+                        # pose row: cls cx cy w h (x y [v])*nkpt
+                        cls_list.append(c)
+                        box_list.append(coords[:4])
+                        seg_list.append(np.zeros((0, 2), np.float32))
+                        kpt_list.append(coords[4:].reshape(self.kpt_shape))
+                    elif len(coords) == 4:  # box row: cls cx cy w h
                         cls_list.append(c)
                         box_list.append(coords)
                         seg_list.append(np.zeros((0, 2), np.float32))
+                        kpt_list.append(np.zeros(self.kpt_shape or (0, 0), np.float32))
                     elif len(coords) >= 6 and len(coords) % 2 == 0:  # polygon row
                         pts = coords.reshape(-1, 2)
                         lo, hi = pts.min(0), pts.max(0)
@@ -131,13 +143,17 @@ class YOLODataset:
                             np.array([(lo[0] + hi[0]) / 2, (lo[1] + hi[1]) / 2, hi[0] - lo[0], hi[1] - lo[1]], np.float32)
                         )
                         seg_list.append(pts)
-            labels.append(
-                {
-                    "cls": np.array(cls_list, np.int32),
-                    "bboxes": np.array(box_list, np.float32).reshape(-1, 4),
-                    "segments": seg_list,
-                }
-            )
+                        kpt_list.append(np.zeros(self.kpt_shape or (0, 0), np.float32))
+            entry = {
+                "cls": np.array(cls_list, np.int32),
+                "bboxes": np.array(box_list, np.float32).reshape(-1, 4),
+                "segments": seg_list,
+            }
+            if self.kpt_shape:
+                entry["keypoints"] = (
+                    np.stack(kpt_list) if kpt_list else np.zeros((0,) + self.kpt_shape, np.float32)
+                )
+            labels.append(entry)
         if cache:
             try:
                 np.savez_compressed(cpath, hash=key, labels=np.array(labels, dtype=object))
@@ -158,10 +174,13 @@ class YOLODataset:
 
     def get_item_raw(self, i: int) -> Dict:
         """One un-augmented sample: BGR image + normalized xywh labels."""
-        return {
+        out = {
             "img": self.load_image(i),
             "cls": self.labels[i]["cls"].copy(),
             "bboxes": self.labels[i]["bboxes"].copy(),
             "segments": [s.copy() for s in self.labels[i].get("segments", [])],
             "path": self.im_files[i],
         }
+        if "keypoints" in self.labels[i]:
+            out["keypoints"] = self.labels[i]["keypoints"].copy()
+        return out

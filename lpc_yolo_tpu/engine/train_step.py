@@ -153,6 +153,14 @@ def make_train_step(
             total, items = rtdetr_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], img.shape[1:3]
             )
+        elif loss_kind == "pose":
+            from ..losses.pose import v8_pose_loss
+
+            kpt_shape = (batch["keypoints"].shape[-2], batch["keypoints"].shape[-1])
+            total, items = v8_pose_loss(
+                out, batch["cls"], batch["bboxes"], batch["mask"], batch["keypoints"],
+                model.strides, model.nc, kpt_shape=kpt_shape,
+            )
         elif loss_kind == "segment":
             total, items = v8_segmentation_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], batch["masks"],

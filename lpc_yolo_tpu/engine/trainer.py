@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data import DataLoader, SegTrainTransforms, TrainTransforms, YOLODataset, check_det_dataset
+from ..data import DataLoader, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, YOLODataset, check_det_dataset
 from ..ops.letterbox import device_preprocess
 from ..parallel import data_parallel_mesh, replicate, shard_batch
 from ..utils.callbacks import CallbackRegistry
@@ -36,6 +36,7 @@ LOSS_NAMES = {
     "v8": ["box", "cls", "dfl"],
     "segment": ["box", "seg", "cls", "dfl"],
     "rtdetr": ["cls", "l1", "giou"],
+    "pose": ["box", "pose", "kobj", "cls", "dfl"],
 }
 
 
@@ -115,11 +116,18 @@ class Trainer:
             task = "rtdetr"
         elif "Segment" in mods:
             task = "segment"
+        elif "Pose" in mods:
+            task = "pose"
         else:
             task = "v8"
-        dataset = YOLODataset(info["train"], imgsz=self.imgsz, augment=True, names=info["names"])
+        kpt_shape = info.get("kpt_shape")
+        dataset = YOLODataset(
+            info["train"], imgsz=self.imgsz, augment=True, names=info["names"], kpt_shape=kpt_shape
+        )
         if task == "segment":
             transforms = SegTrainTransforms(self.imgsz, self.hyp, self.max_gt)
+        elif task == "pose":
+            transforms = PoseTrainTransforms(self.imgsz, self.hyp, self.max_gt, kpt_shape or (17, 3))
         else:
             transforms = TrainTransforms(self.imgsz, self.hyp, self.max_gt)
         loader = DataLoader(
@@ -180,7 +188,8 @@ class Trainer:
             mean_items = np.zeros(6)
             for _ in range(steps_per_epoch):
                 batch = next(data_iter)
-                keys = ["img", "cls", "bboxes", "mask"] + (["masks"] if "masks" in batch else [])
+                keys = ["img", "cls", "bboxes", "mask"]
+                keys += [k for k in ("masks", "keypoints") if k in batch]
                 device_batch = shard_batch({k: batch[k] for k in keys}, mesh)
                 state, metrics = train_step(state, device_batch)
                 it = np.asarray(metrics["items"]).reshape(-1)[:6]

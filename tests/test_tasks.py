@@ -163,3 +163,56 @@ def test_hungarian_match_prefers_overlap():
     match = np.asarray(hungarian_match(pb, logits, gtb, gtc, mask))
     assert match[0, 0] == 1  # gt 0 matched to query 1
     assert match[0, 1] == -1  # padded gt unmatched
+
+
+@pytest.fixture(scope="module")
+def pose_ds(tmp_path_factory):
+    import cv2
+    import yaml
+
+    tmp = tmp_path_factory.mktemp("poseds")
+    rng = np.random.RandomState(0)
+    imgsz = 96
+    for split, n in (("train", 4), ("val", 2)):
+        (tmp / "ds/images" / split).mkdir(parents=True, exist_ok=True)
+        (tmp / "ds/labels" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = rng.randint(90, 140, (imgsz, imgsz, 3), np.uint8)
+            w = h = imgsz // 3
+            x1 = y1 = imgsz // 4
+            cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), (60, 60, 220), -1)
+            kp = [(x1, y1), (x1 + w, y1), (x1 + w, y1 + h), (x1, y1 + h)]
+            kps = " ".join(f"{x / imgsz:.4f} {y / imgsz:.4f} 2" for x, y in kp)
+            row = f"0 {(x1 + w / 2) / imgsz:.4f} {(y1 + h / 2) / imgsz:.4f} {w / imgsz:.4f} {h / imgsz:.4f} {kps}"
+            cv2.imwrite(str(tmp / "ds/images" / split / f"im{i}.jpg"), img)
+            (tmp / "ds/labels" / split / f"im{i}.txt").write_text(row + "\n")
+    (tmp / "ds/data.yaml").write_text(
+        yaml.safe_dump({"path": str(tmp / "ds"), "train": "images/train", "val": "images/val",
+                        "nc": 1, "names": {0: "box"}, "kpt_shape": [4, 3]})
+    )
+    pose_yaml = (CFG / "v8/yolov8-pose.yaml").read_text().replace("kpt_shape: [17, 3]", "kpt_shape: [4, 3]")
+    p = tmp / "pose.yaml"
+    p.write_text(pose_yaml)
+    return str(tmp / "ds/data.yaml"), str(p)
+
+
+def test_pose_dataset_keypoints(pose_ds):
+    from lpc_yolo_tpu.data import YOLODataset, check_det_dataset
+
+    data_yaml, _ = pose_ds
+    info = check_det_dataset(data_yaml)
+    assert info["kpt_shape"] == (4, 3)
+    ds = YOLODataset(info["train"], kpt_shape=info["kpt_shape"], cache=False)
+    item = ds.get_item_raw(0)
+    assert item["keypoints"].shape == (1, 4, 3)
+    assert (item["keypoints"][..., 2] == 2).all()  # all visible
+
+
+def test_pose_train_loop(pose_ds, tmp_path):
+    data_yaml, model_yaml = pose_ds
+    m = YOLO(model_yaml)
+    assert m.task == "pose"
+    m.train(data=data_yaml, epochs=1, batch=4, imgsz=96, workers=2, max_gt=4,
+            close_mosaic=0, save_dir=str(tmp_path / "run"))
+    header = (tmp_path / "run" / "results.csv").read_text().splitlines()[0]
+    assert "train/pose" in header and "train/kobj" in header
