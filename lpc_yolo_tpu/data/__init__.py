@@ -1,6 +1,6 @@
 """Data layer: YOLO-format datasets, augmentation, fixed-shape batch loading."""
 
-from .augment import DEFAULT_HYP, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, ValTransforms
+from .augment import DEFAULT_HYP, OBBTrainTransforms, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, ValTransforms
 from .build import DataLoader, collate
 from .classify import ClassificationDataset, ClsTransforms, check_cls_dataset
 from .dataset import YOLODataset, check_det_dataset, img2label_path
@@ -11,6 +11,7 @@ __all__ = [
     "TrainTransforms",
     "SegTrainTransforms",
     "PoseTrainTransforms",
+    "OBBTrainTransforms",
     "ValTransforms",
     "DataLoader",
     "collate",

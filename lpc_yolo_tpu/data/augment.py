@@ -443,3 +443,39 @@ class PoseTrainTransforms:
         if kpts.size:
             out_kpts[:n] = kpts[:n]
         return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask, "keypoints": out_kpts}
+
+
+class OBBTrainTransforms:
+    """Letterbox + HSV for oriented-box training: rboxes are in normalized
+    units from the DOTA label parse; uniform scale + shift preserves angles."""
+
+    def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 32):
+        self.imgsz = imgsz
+        self.hyp = {**DEFAULT_HYP, **(hyp or {})}
+        self.max_gt = max_gt
+        self.mosaic_enabled = False
+
+    def close_mosaic(self):
+        self.mosaic_enabled = False
+
+    def __call__(self, dataset, idx: int, rng: np.random.RandomState) -> Dict:
+        item = dataset.get_item_raw(idx)
+        img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
+        h0, w0 = item["img"].shape[:2]
+        rb = item.get("rboxes", np.zeros((0, 5), np.float32)).copy()
+        if len(rb):
+            rb[:, 0] = rb[:, 0] * w0 * gain + pad[0]
+            rb[:, 1] = rb[:, 1] * h0 * gain + pad[1]
+            rb[:, 2] = rb[:, 2] * w0 * gain
+            rb[:, 3] = rb[:, 3] * h0 * gain
+        img = augment_hsv(np.ascontiguousarray(img), rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
+        M = self.max_gt
+        n = min(len(rb), M)
+        out_rb = np.zeros((M, 5), np.float32)
+        out_cls = np.zeros((M,), np.int32)
+        mask = np.zeros((M,), bool)
+        out_rb[:n] = rb[:n]
+        out_cls[:n] = item["cls"][:n]
+        mask[:n] = True
+        return {"img": img, "cls": out_cls, "rboxes": out_rb, "mask": mask,
+                "bboxes": np.zeros((M, 4), np.float32)}

@@ -29,6 +29,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
         out["label"] = np.stack([s["label"] for s in samples])
     if "keypoints" in samples[0]:
         out["keypoints"] = np.stack([s["keypoints"] for s in samples])
+    if "rboxes" in samples[0]:
+        out["rboxes"] = np.stack([s["rboxes"] for s in samples])
     for k in ("orig_shape", "gain", "pad", "path"):
         if k in samples[0]:
             out[k] = [s[k] for s in samples]

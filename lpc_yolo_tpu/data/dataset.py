@@ -68,9 +68,11 @@ class YOLODataset:
         cache: bool = True,
         names: Optional[Dict[int, str]] = None,
         kpt_shape: Optional[Tuple[int, int]] = None,
+        obb: bool = False,
     ):
         self.img_path = str(img_path)
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
+        self.obb = obb
         self.imgsz = imgsz
         self.augment = augment
         self.hyp = hyp or {}
@@ -116,7 +118,7 @@ class YOLODataset:
         labels = []
         nkd = self.kpt_shape[0] * self.kpt_shape[1] if self.kpt_shape else -1
         for lf in self.label_files:
-            cls_list, box_list, seg_list, kpt_list = [], [], [], []
+            cls_list, box_list, seg_list, kpt_list, rbox_list = [], [], [], [], []
             if os.path.exists(lf):
                 for line in Path(lf).read_text().splitlines():
                     vals = line.split()
@@ -135,6 +137,18 @@ class YOLODataset:
                         box_list.append(coords)
                         seg_list.append(np.zeros((0, 2), np.float32))
                         kpt_list.append(np.zeros(self.kpt_shape or (0, 0), np.float32))
+                    elif self.obb and len(coords) == 8:
+                        # DOTA row: 4 corner points -> minAreaRect rbox
+                        import cv2
+
+                        pts = coords.reshape(4, 2)
+                        (cx, cy), (bw, bh), ang = cv2.minAreaRect(pts.astype(np.float32))
+                        cls_list.append(c)
+                        box_list.append(np.array([cx, cy, bw, bh], np.float32))
+                        seg_list.append(pts)
+                        kpt_list.append(np.zeros(self.kpt_shape or (0, 0), np.float32))
+                        rbox_list.append(np.array([cx, cy, bw, bh, np.deg2rad(ang)], np.float32))
+                        continue
                     elif len(coords) >= 6 and len(coords) % 2 == 0:  # polygon row
                         pts = coords.reshape(-1, 2)
                         lo, hi = pts.min(0), pts.max(0)
@@ -152,6 +166,10 @@ class YOLODataset:
             if self.kpt_shape:
                 entry["keypoints"] = (
                     np.stack(kpt_list) if kpt_list else np.zeros((0,) + self.kpt_shape, np.float32)
+                )
+            if self.obb:
+                entry["rboxes"] = (
+                    np.stack(rbox_list) if rbox_list else np.zeros((0, 5), np.float32)
                 )
             labels.append(entry)
         if cache:
@@ -183,4 +201,6 @@ class YOLODataset:
         }
         if "keypoints" in self.labels[i]:
             out["keypoints"] = self.labels[i]["keypoints"].copy()
+        if "rboxes" in self.labels[i]:
+            out["rboxes"] = self.labels[i]["rboxes"].copy()
         return out

@@ -153,6 +153,12 @@ def make_train_step(
             total, items = rtdetr_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], img.shape[1:3]
             )
+        elif loss_kind == "obb":
+            from ..losses.obb import v8_obb_loss
+
+            total, items = v8_obb_loss(
+                out, batch["cls"], batch["rboxes"], batch["mask"], model.strides, model.nc
+            )
         elif loss_kind == "pose":
             from ..losses.pose import v8_pose_loss
 

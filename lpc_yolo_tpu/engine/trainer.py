@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data import DataLoader, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, YOLODataset, check_det_dataset
+from ..data import DataLoader, OBBTrainTransforms, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, YOLODataset, check_det_dataset
 from ..ops.letterbox import device_preprocess
 from ..parallel import data_parallel_mesh, replicate, shard_batch
 from ..utils.callbacks import CallbackRegistry
@@ -37,6 +37,7 @@ LOSS_NAMES = {
     "segment": ["box", "seg", "cls", "dfl"],
     "rtdetr": ["cls", "l1", "giou"],
     "pose": ["box", "pose", "kobj", "cls", "dfl"],
+    "obb": ["box", "cls", "dfl"],
 }
 
 
@@ -118,16 +119,21 @@ class Trainer:
             task = "segment"
         elif "Pose" in mods:
             task = "pose"
+        elif "OBB" in mods:
+            task = "obb"
         else:
             task = "v8"
         kpt_shape = info.get("kpt_shape")
         dataset = YOLODataset(
-            info["train"], imgsz=self.imgsz, augment=True, names=info["names"], kpt_shape=kpt_shape
+            info["train"], imgsz=self.imgsz, augment=True, names=info["names"],
+            kpt_shape=kpt_shape, obb=(task == "obb"),
         )
         if task == "segment":
             transforms = SegTrainTransforms(self.imgsz, self.hyp, self.max_gt)
         elif task == "pose":
             transforms = PoseTrainTransforms(self.imgsz, self.hyp, self.max_gt, kpt_shape or (17, 3))
+        elif task == "obb":
+            transforms = OBBTrainTransforms(self.imgsz, self.hyp, self.max_gt)
         else:
             transforms = TrainTransforms(self.imgsz, self.hyp, self.max_gt)
         loader = DataLoader(
@@ -189,7 +195,7 @@ class Trainer:
             for _ in range(steps_per_epoch):
                 batch = next(data_iter)
                 keys = ["img", "cls", "bboxes", "mask"]
-                keys += [k for k in ("masks", "keypoints") if k in batch]
+                keys += [k for k in ("masks", "keypoints", "rboxes") if k in batch]
                 device_batch = shard_batch({k: batch[k] for k in keys}, mesh)
                 state, metrics = train_step(state, device_batch)
                 it = np.asarray(metrics["items"]).reshape(-1)[:6]

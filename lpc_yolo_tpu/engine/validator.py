@@ -76,6 +76,11 @@ class Validator:
                 best = jnp.max(pred[..., 4:], axis=-1)
                 labels = jnp.argmax(pred[..., 4:], axis=-1).astype(boxes.dtype)
                 return jnp.concatenate([boxes, best[..., None], labels[..., None]], axis=-1)
+            if task == "obb":
+                # axis-aligned approximation over the rbox xywh (rotated NMS roadmap)
+                return non_max_suppression(
+                    out["pred"][..., : 4 + model.nc], self.conf, 0.45, self.max_det
+                )
             return non_max_suppression(out["pred"], self.conf, 0.45, self.max_det)
 
         return predict

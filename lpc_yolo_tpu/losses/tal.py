@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import bbox_iou
+from ..ops.boxes import bbox_iou, probiou, xywhr2xyxyxyxy
 
 
 class AssignResult(NamedTuple):
@@ -41,16 +41,35 @@ def task_aligned_assigner(
     alpha: float = 0.5,
     beta: float = 6.0,
     eps: float = 1e-9,
+    rotated: bool = False,
 ) -> AssignResult:
+    """When rotated=True, boxes are (..., 5) [cx, cy, w, h, angle]: candidate
+    selection uses the point-in-rotated-rect test (tal.py RotatedTaskAligned
+    Assigner.select_candidates_in_gts) and IoU is probiou."""
     B, A, nc = pd_scores.shape
     M = gt_bboxes.shape[1]
     mask_gt_f = mask_gt.astype(pd_scores.dtype)
 
-    # --- candidates whose center lies inside each gt (tal.py:256-270)
-    lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
-    rb = gt_bboxes[..., None, 2:]
-    deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
-    mask_in_gts = (jnp.min(deltas, axis=-1) > eps).astype(pd_scores.dtype)  # (B, M, A)
+    if rotated:
+        # corners (B, M, 4, 2); point-in-box via projections onto box axes
+        corners = xywhr2xyxyxyxy(gt_bboxes)
+        a_pt, b_pt, d_pt = corners[..., 0, :], corners[..., 1, :], corners[..., 3, :]
+        ab = b_pt - a_pt  # (B, M, 2)
+        ad = d_pt - a_pt
+        ap = anc_points[None, None] - a_pt[..., None, :]  # (B, M, A, 2)
+        dot_ab = jnp.sum(ap * ab[..., None, :], axis=-1)
+        dot_ad = jnp.sum(ap * ad[..., None, :], axis=-1)
+        norm_ab = jnp.sum(ab * ab, axis=-1, keepdims=True)
+        norm_ad = jnp.sum(ad * ad, axis=-1, keepdims=True)
+        mask_in_gts = (
+            (dot_ab >= 0) & (dot_ab <= norm_ab) & (dot_ad >= 0) & (dot_ad <= norm_ad)
+        ).astype(pd_scores.dtype)
+    else:
+        # --- candidates whose center lies inside each gt (tal.py:256-270)
+        lt = gt_bboxes[..., None, :2]  # (B, M, 1, 2)
+        rb = gt_bboxes[..., None, 2:]
+        deltas = jnp.concatenate([anc_points[None, None] - lt, rb - anc_points[None, None]], axis=-1)
+        mask_in_gts = (jnp.min(deltas, axis=-1) > eps).astype(pd_scores.dtype)  # (B, M, A)
 
     # --- align metric = score^alpha * CIoU^beta on masked candidates (tal.py:106-121)
     valid = mask_in_gts * mask_gt_f[..., None]  # (B, M, A)
@@ -60,9 +79,12 @@ def task_aligned_assigner(
     )  # (B, M, A): score of each anchor for the gt's class
     bbox_scores = bbox_scores * valid
 
-    overlaps = bbox_iou(
-        gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
-    ).squeeze(-1)
+    if rotated:
+        overlaps = probiou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :])
+    else:
+        overlaps = bbox_iou(
+            gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :], xywh=False, CIoU=True
+        ).squeeze(-1)
     overlaps = jnp.clip(overlaps, 0.0, None) * valid  # (B, M, A)
 
     align_metric = bbox_scores**alpha * overlaps**beta
@@ -89,7 +111,7 @@ def task_aligned_assigner(
 
     # --- gather targets (tal.py:163-214)
     target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B, A)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B, A, 4)
+    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B, A, 4|5)
     target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = target_scores * fg_mask[..., None]
 

@@ -134,6 +134,43 @@ def box_iou(box1: jnp.ndarray, box2: jnp.ndarray, eps: float = EPS) -> jnp.ndarr
     return inter / (area1[..., :, None] + area2[..., None, :] - inter + eps)
 
 
+def _rbox_covariance(obb: jnp.ndarray):
+    """Gaussian covariance terms of rotated boxes (metrics.py probiou helper)."""
+    w, h, r = obb[..., 2], obb[..., 3], obb[..., 4]
+    a, b = (w**2) / 12.0, (h**2) / 12.0
+    cos, sin = jnp.cos(r), jnp.sin(r)
+    return a * cos**2 + b * sin**2, a * sin**2 + b * cos**2, (a - b) * cos * sin
+
+
+def probiou(obb1: jnp.ndarray, obb2: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Probabilistic IoU between rotated boxes (metrics.py:198-260), elementwise.
+
+    obb: (..., 5) = [cx, cy, w, h, angle]. Returns (...,) in [0, 1].
+    """
+    x1, y1 = obb1[..., 0], obb1[..., 1]
+    x2, y2 = obb2[..., 0], obb2[..., 1]
+    a1, b1, c1 = _rbox_covariance(obb1)
+    a2, b2, c2 = _rbox_covariance(obb2)
+    denom = (a1 + a2) * (b1 + b2) - (c1 + c2) ** 2 + eps
+    t1 = ((a1 + a2) * (y1 - y2) ** 2 + (b1 + b2) * (x1 - x2) ** 2) / denom * 0.25
+    t2 = ((c1 + c2) * (x2 - x1) * (y1 - y2)) / denom * 0.5
+    det1 = jnp.clip(a1 * b1 - c1**2, 0, None)
+    det2 = jnp.clip(a2 * b2 - c2**2, 0, None)
+    t3 = jnp.log(denom / (4 * jnp.sqrt(det1 * det2) + eps) + eps) * 0.5
+    bd = jnp.clip(t1 + t2 + t3, eps, 100.0)
+    return 1.0 - jnp.sqrt(1.0 - jnp.exp(-bd) + eps)
+
+
+def xywhr2xyxyxyxy(rbox: jnp.ndarray) -> jnp.ndarray:
+    """(..., 5) rotated boxes -> (..., 4, 2) corner points (ops.py xywhr2xyxyxyxy)."""
+    c, s = jnp.cos(rbox[..., 4]), jnp.sin(rbox[..., 4])
+    w2, h2 = rbox[..., 2] / 2, rbox[..., 3] / 2
+    v1 = jnp.stack([w2 * c, w2 * s], axis=-1)
+    v2 = jnp.stack([-h2 * s, h2 * c], axis=-1)
+    ctr = rbox[..., :2]
+    return jnp.stack([ctr + v1 + v2, ctr + v1 - v2, ctr - v1 - v2, ctr - v1 + v2], axis=-2)
+
+
 def scale_boxes(img1_shape, boxes, img0_shape, ratio_pad=None, padding: bool = True):
     """Rescale boxes from letterboxed img1_shape (h, w) back to original img0_shape.
 

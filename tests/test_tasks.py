@@ -216,3 +216,65 @@ def test_pose_train_loop(pose_ds, tmp_path):
             close_mosaic=0, save_dir=str(tmp_path / "run"))
     header = (tmp_path / "run" / "results.csv").read_text().splitlines()[0]
     assert "train/pose" in header and "train/kobj" in header
+
+
+def test_obb_train_loop(tmp_path):
+    """OBB training: rotated TAL + probiou loss on synthetic rotated boxes."""
+    import cv2
+    import yaml
+
+    rng = np.random.RandomState(0)
+    imgsz = 96
+    for split, n in (("train", 4), ("val", 2)):
+        (tmp_path / "ds/images" / split).mkdir(parents=True, exist_ok=True)
+        (tmp_path / "ds/labels" / split).mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = rng.randint(90, 140, (imgsz, imgsz, 3), np.uint8)
+            rect = cv2.boxPoints(((48.0, 48.0), (30.0, 16.0), 30.0))
+            cv2.fillPoly(img, [rect.astype(np.int32)], (60, 60, 220))
+            pts = " ".join(f"{p[0] / imgsz:.4f} {p[1] / imgsz:.4f}" for p in rect)
+            cv2.imwrite(str(tmp_path / "ds/images" / split / f"im{i}.jpg"), img)
+            (tmp_path / "ds/labels" / split / f"im{i}.txt").write_text(f"0 {pts}\n")
+    (tmp_path / "ds/data.yaml").write_text(
+        yaml.safe_dump({"path": str(tmp_path / "ds"), "train": "images/train",
+                        "val": "images/val", "nc": 1, "names": {0: "obj"}})
+    )
+    m = YOLO("yolov8-obb.yaml", nc=1)
+    m.train(data=str(tmp_path / "ds/data.yaml"), epochs=1, batch=4, imgsz=96,
+            workers=2, max_gt=4, close_mosaic=0, save_dir=str(tmp_path / "run"))
+    assert "train/box" in (tmp_path / "run" / "results.csv").read_text()
+
+
+def test_rotated_assigner_and_probiou():
+    from lpc_yolo_tpu.losses import task_aligned_assigner
+    from lpc_yolo_tpu.ops import make_anchors
+    from lpc_yolo_tpu.ops.boxes import probiou, xywhr2xyxyxyxy
+
+    # probiou basics (jnp version)
+    a = jnp.asarray([[50.0, 50.0, 20.0, 10.0, 0.0]])
+    assert float(probiou(a, a)[0]) > 0.99
+    rot = a.at[0, 4].set(np.pi / 2)
+    assert float(probiou(a, rot)[0]) < 0.99
+
+    # corners of an axis-aligned rbox
+    c = np.asarray(xywhr2xyxyxyxy(a))[0]
+    assert sorted(map(tuple, np.round(c))) == sorted(
+        [(60.0, 55.0), (60.0, 45.0), (40.0, 45.0), (40.0, 55.0)]
+    )
+
+    # rotated assigner: a gt centered on anchors gets fg anchors
+    pts, strides = make_anchors([(8, 8), (4, 4), (2, 2)], [8, 16, 32])
+    A = pts.shape[0]
+    rng = np.random.RandomState(0)
+    pd_scores = jnp.asarray(rng.rand(1, A, 2).astype(np.float32)) * 0.5
+    pd_rb = jnp.concatenate(
+        [jnp.asarray(rng.rand(1, A, 2).astype(np.float32)) * 64,
+         jnp.full((1, A, 2), 16.0), jnp.zeros((1, A, 1))], -1
+    )
+    gt = jnp.asarray([[[32.0, 32.0, 24.0, 12.0, 0.5], [0, 0, 0, 0, 0]]])
+    res = task_aligned_assigner(
+        pd_scores, pd_rb, pts * strides, jnp.zeros((1, 2), jnp.int32), gt,
+        jnp.asarray([[True, False]]), topk=10, num_classes=2, rotated=True,
+    )
+    assert bool(res.fg_mask.any())
+    assert res.target_bboxes.shape[-1] == 5
