@@ -34,7 +34,6 @@ BASELINE_IMG_PER_S = 1010.0  # YOLOv8n on A100 TensorRT (docs/en/models/yolov8.m
 
 def main():
     from lpc_yolo_tpu.nn import build_model
-    from lpc_yolo_tpu.ops.postprocess import v10_detections
 
     batch, imgsz, iters = 32, 640, 16
     model = build_model(

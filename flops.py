@@ -5,8 +5,6 @@ Usage: python flops.py [model.yaml] [imgsz]
 
 import sys
 
-import jax
-
 from lpc_yolo_tpu import YOLO
 from lpc_yolo_tpu.utils.profilers import model_cost, n_params
 

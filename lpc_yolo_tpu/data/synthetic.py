@@ -9,8 +9,6 @@ boxes are exactly known — a detector can overfit it in a few hundred steps.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Tuple
-
 import numpy as np
 import yaml
 

@@ -10,7 +10,6 @@ model.py:10-35 (YOLOv10 + task_map). The facade resolves the model source:
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any, Dict, Optional, Union
 

@@ -19,7 +19,7 @@ import glob as _glob
 import os
 import time
 from pathlib import Path
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..ops.boxes import scale_boxes
 from ..ops.letterbox import device_preprocess, letterbox_image
 from ..ops.masks import process_mask
-from ..ops.postprocess import non_max_suppression, v10_detections
+from ..ops.postprocess import non_max_suppression
 from .results import Results
 
 IMG_SUFFIXES = {".bmp", ".dng", ".jpeg", ".jpg", ".mpo", ".png", ".tif", ".tiff", ".webp", ".pfm"}

@@ -16,14 +16,12 @@ which matches DDP semantics (no SyncBN in the reference).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from ..losses import v8_detection_loss, v10_detect_loss
 from ..losses.segment import v8_segmentation_loss

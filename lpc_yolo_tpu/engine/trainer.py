@@ -21,14 +21,12 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..data import DataLoader, OBBTrainTransforms, PoseTrainTransforms, SegTrainTransforms, TrainTransforms, YOLODataset, check_det_dataset
-from ..ops.letterbox import device_preprocess
 from ..parallel import data_parallel_mesh, replicate, shard_batch
 from ..utils.callbacks import CallbackRegistry
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
-from .train_step import OptConfig, TrainState, init_train_state, make_train_step
+from .train_step import OptConfig, init_train_state, make_train_step
 from .validator import Validator
 
 LOSS_NAMES = {

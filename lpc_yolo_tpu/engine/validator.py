@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import time
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..data import DataLoader, ValTransforms, YOLODataset, check_det_dataset
 from ..ops.letterbox import device_preprocess
-from ..ops.postprocess import non_max_suppression, v10_detections
+from ..ops.postprocess import non_max_suppression
 from ..utils.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
 
 

@@ -16,7 +16,6 @@ zero weight.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Tuple
 
 import numpy as np

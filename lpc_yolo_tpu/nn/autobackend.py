@@ -10,7 +10,7 @@ whose toolchains aren't present raise at load with a clear message.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional, Tuple
+
 
 import numpy as np
 

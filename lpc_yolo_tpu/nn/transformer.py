@@ -15,7 +15,7 @@ ride the MXU; the decoder's 6 layers are unrolled at trace time.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,10 @@ conv — no separate CHW pass, no fp32 host buffer, uint8 over PCIe.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 

@@ -14,7 +14,7 @@ multi-host JAX:
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 

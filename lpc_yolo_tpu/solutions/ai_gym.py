@@ -3,7 +3,7 @@ joint-angle thresholding with an up/down state machine per track."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

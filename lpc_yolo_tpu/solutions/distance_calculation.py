@@ -3,7 +3,7 @@ solutions/distance_calculation.py): pixel centroid distance scaled to meters."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

@@ -4,7 +4,7 @@ pixel displacement of track centers across frames scaled to real units."""
 from __future__ import annotations
 
 from collections import deque
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

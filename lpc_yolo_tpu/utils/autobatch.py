@@ -9,10 +9,9 @@ without running it, so the search never risks an OOM.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 
 def device_memory_bytes(device=None) -> int:
