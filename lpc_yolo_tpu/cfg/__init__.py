@@ -28,11 +28,11 @@ CFG_FRACTION_KEYS = {
     "dropout", "lr0", "lrf", "momentum", "weight_decay", "warmup_momentum", "warmup_bias_lr",
     "label_smoothing", "hsv_h", "hsv_s", "hsv_v", "translate", "scale", "perspective",
     "flipud", "fliplr", "mosaic", "mixup", "copy_paste", "conf", "iou", "fraction",
-    "erasing", "crop_fraction",
+    "erasing", "crop_fraction", "bgr",
 }
 CFG_INT_KEYS = {
     "epochs", "patience", "workers", "seed", "close_mosaic", "mask_ratio", "max_det",
-    "vid_stride", "line_width", "nbs", "save_period", "imgsz",
+    "vid_stride", "line_width", "nbs", "save_period", "imgsz", "val_period",
 }
 CFG_BOOL_KEYS = {
     "save", "exist_ok", "verbose", "deterministic", "single_cls", "rect", "cos_lr",
@@ -40,7 +40,7 @@ CFG_BOOL_KEYS = {
     "plots", "show", "save_txt", "save_conf", "save_crop", "save_frames",
     "show_labels", "show_conf", "visualize", "augment", "agnostic_nms",
     "retina_masks", "show_boxes", "keras", "optimize", "int8", "dynamic", "simplify",
-    "nms", "multi_scale", "stream_buffer", "pretrained",
+    "nms", "multi_scale", "stream_buffer", "pretrained", "overlap_mask",
 }
 
 TASKS = {"detect", "segment", "classify", "pose", "obb"}

@@ -48,15 +48,83 @@ def xywhn_to_xyxy(bboxes: np.ndarray, w: float, h: float, padw: float = 0, padh:
     return out
 
 
-def mosaic4(dataset, idx: int, rng: np.random.RandomState, imgsz: int) -> Dict:
-    """4-image mosaic on a 2x2 canvas of side 2*imgsz (augment.py:160-210)."""
+def resample_segments(segments, n: int = 200) -> np.ndarray:
+    """Resample a list of (k, 2) polygons to a fixed (N, n, 2) array by linear
+    interpolation along the closed contour (reference utils/ops.py
+    resample_segments semantics; fixed point count keeps shapes static)."""
+    out = np.zeros((len(segments), n, 2), np.float32)
+    for i, s in enumerate(segments):
+        if len(s) == 0:
+            continue
+        s = np.concatenate([s, s[0:1]], axis=0)  # close the contour
+        x = np.linspace(0, len(s) - 1, n)
+        xp = np.arange(len(s))
+        out[i] = np.stack([np.interp(x, xp, s[:, 0]), np.interp(x, xp, s[:, 1])], axis=-1)
+    return out
+
+
+def segments2boxes_px(segments: np.ndarray, width: float, height: float) -> np.ndarray:
+    """Vectorized segment2box (reference utils/ops.py:segment2box): xyxy from
+    the in-canvas points of each (N, P, 2) polygon; all-outside -> zeros."""
+    x, y = segments[..., 0], segments[..., 1]
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)  # (N, P)
+    any_in = inside.any(axis=1)
+    big = np.float32(1e12)
+    x1 = np.where(inside, x, big).min(axis=1)
+    y1 = np.where(inside, y, big).min(axis=1)
+    x2 = np.where(inside, x, -big).max(axis=1)
+    y2 = np.where(inside, y, -big).max(axis=1)
+    boxes = np.stack([x1, y1, x2, y2], axis=1).astype(np.float32)
+    boxes[~any_in] = 0.0
+    return boxes
+
+
+def _segments_px(item: Dict, boxes_px: np.ndarray, sx: float, sy: float, padx: float, pady: float, seg_points: int) -> np.ndarray:
+    """Item's normalized polygons -> fixed-point pixel polygons aligned with
+    boxes_px; box-only labels (no polygon) become the box rectangle."""
+    n = len(boxes_px)
+    segs = resample_segments(item.get("segments", []), seg_points)
+    if len(segs) < n:
+        segs = np.concatenate([segs, np.zeros((n - len(segs), seg_points, 2), np.float32)])
+    empty = ~segs.reshape(len(segs), -1).any(axis=1) if len(segs) else np.zeros(0, bool)
+    segs = segs * np.array([sx, sy], np.float32) + np.array([padx, pady], np.float32)
+    if empty.any():
+        rect = [
+            resample_segments(
+                [np.array([[b[0], b[1]], [b[2], b[1]], [b[2], b[3]], [b[0], b[3]]], np.float32)],
+                seg_points,
+            )[0]
+            for b in boxes_px[empty]
+        ]
+        segs[empty] = np.stack(rect)
+    return segs
+
+
+# COCO-17 left/right keypoint swap for horizontal flip (reference
+# cfg/datasets/coco8-pose.yaml flip_idx)
+COCO_FLIP_IDX = [0, 2, 1, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13, 16, 15]
+
+
+def mosaic4(
+    dataset,
+    idx: int,
+    rng: np.random.RandomState,
+    imgsz: int,
+    seg_points: Optional[int] = None,
+    kpt_shape: Optional[Tuple[int, int]] = None,
+) -> Dict:
+    """4-image mosaic on a 2x2 canvas of side 2*imgsz (augment.py:160-210).
+
+    With seg_points / kpt_shape set, polygon and keypoint labels ride along in
+    canvas pixel space (reference Instances.denormalize + add_padding).
+    """
     import cv2
 
     s = imgsz
     yc, xc = (int(rng.uniform(s // 2, 2 * s - s // 2)) for _ in range(2))
     indices = [idx] + [rng.randint(0, len(dataset)) for _ in range(3)]
     canvas = np.full((s * 2, s * 2, 3), 114, np.uint8)
-    all_cls, all_boxes = [], []
+    all_cls, all_boxes, all_segs, all_kpts = [], [], [], []
     for i, index in enumerate(indices):
         item = dataset.get_item_raw(index)
         img = item["img"]
@@ -80,13 +148,33 @@ def mosaic4(dataset, idx: int, rng: np.random.RandomState, imgsz: int) -> Dict:
         canvas[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
         padw, padh = x1a - x1b, y1a - y1b
         if len(item["bboxes"]):
-            boxes = xywhn_to_xyxy(item["bboxes"], w, h, padw, padh)
-            all_boxes.append(boxes)
+            tile_boxes = xywhn_to_xyxy(item["bboxes"], w, h, padw, padh)
+            all_boxes.append(tile_boxes)
             all_cls.append(item["cls"])
+            if seg_points is not None:
+                all_segs.append(_segments_px(item, tile_boxes, w, h, padw, padh, seg_points))
+            if kpt_shape is not None:
+                kpts = item.get("keypoints")
+                if kpts is None or kpts.size == 0:
+                    kpts = np.zeros((len(item["bboxes"]),) + tuple(kpt_shape), np.float32)
+                else:
+                    kpts = kpts.copy()
+                    kpts[..., 0] = kpts[..., 0] * w + padw
+                    kpts[..., 1] = kpts[..., 1] * h + padh
+                all_kpts.append(kpts)
     boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4), np.float32)
     cls = np.concatenate(all_cls) if all_cls else np.zeros((0,), np.int32)
     boxes = boxes.clip(0, 2 * s)
-    return {"img": canvas, "cls": cls, "bboxes_xyxy": boxes, "mosaic_border": (-s // 2, -s // 2)}
+    out = {"img": canvas, "cls": cls, "bboxes_xyxy": boxes, "mosaic_border": (-s // 2, -s // 2)}
+    if seg_points is not None:
+        out["segments"] = (
+            np.concatenate(all_segs) if all_segs else np.zeros((0, seg_points, 2), np.float32)
+        )
+    if kpt_shape is not None:
+        out["keypoints"] = (
+            np.concatenate(all_kpts) if all_kpts else np.zeros((0,) + tuple(kpt_shape), np.float32)
+        )
+    return out
 
 
 def random_perspective(
@@ -96,9 +184,18 @@ def random_perspective(
     rng: np.random.RandomState,
     hyp: Dict,
     border: Tuple[int, int] = (0, 0),
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Affine warp (rotation/scale/shear/translate) + box transform + candidate
-    filter (augment.py:347-470)."""
+    segments: Optional[np.ndarray] = None,  # (N, P, 2) pixel polygons
+    keypoints: Optional[np.ndarray] = None,  # (N, K, 2|3) pixel kpts
+):
+    """Affine warp (rotation/scale/shear/translate) + label transform +
+    candidate filter (augment.py:347-470).
+
+    With segments, boxes are recomputed from the warped polygons
+    (apply_segments, augment.py:447-474) and the area threshold relaxes to
+    0.01; keypoints are warped and out-of-canvas ones marked invisible
+    (apply_keypoints, augment.py:476-501). Returns (img, boxes, cls) or
+    (img, boxes, cls, segments[, keypoints]) matching the inputs given.
+    """
     import cv2
 
     height = img.shape[0] + border[0] * 2
@@ -130,20 +227,56 @@ def random_perspective(
 
     n = len(boxes)
     if n:
-        xy = np.ones((n * 4, 3))
-        xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
-        xy = xy @ M.T
-        xy = (xy[:, :2] / xy[:, 2:3] if hyp["perspective"] else xy[:, :2]).reshape(n, 8)
-        x, y = xy[:, [0, 2, 4, 6]], xy[:, [1, 3, 5, 7]]
-        new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
-        new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
-        new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
-        # candidate filter (augment.py box_candidates): wh>2px, ar<100, area ratio>0.1
+        if segments is not None and len(segments):
+            # warp polygons, rebuild boxes from in-canvas points, clip polys to box
+            N, P, _ = segments.shape
+            xy = np.ones((N * P, 3))
+            xy[:, :2] = segments.reshape(N * P, 2)
+            xy = xy @ M.T
+            xy = xy[:, :2] / xy[:, 2:3] if hyp["perspective"] else xy[:, :2]
+            segments = xy.reshape(N, P, 2).astype(np.float32)
+            new = segments2boxes_px(segments, width, height)
+            segments[..., 0] = segments[..., 0].clip(new[:, 0:1], new[:, 2:3])
+            segments[..., 1] = segments[..., 1].clip(new[:, 1:2], new[:, 3:4])
+        else:
+            xy = np.ones((n * 4, 3))
+            xy[:, :2] = boxes[:, [0, 1, 2, 3, 0, 3, 2, 1]].reshape(n * 4, 2)
+            xy = xy @ M.T
+            xy = (xy[:, :2] / xy[:, 2:3] if hyp["perspective"] else xy[:, :2]).reshape(n, 8)
+            x, y = xy[:, [0, 2, 4, 6]], xy[:, [1, 3, 5, 7]]
+            new = np.stack([x.min(1), y.min(1), x.max(1), y.max(1)], axis=1)
+            new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
+            new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
+        if keypoints is not None and len(keypoints):
+            N, K, ndim = keypoints.shape
+            xy = np.ones((N * K, 3))
+            xy[:, :2] = keypoints[..., :2].reshape(N * K, 2)
+            xy = xy @ M.T
+            xy = xy[:, :2] / xy[:, 2:3] if hyp["perspective"] else xy[:, :2]
+            out_of = (xy[:, 0] < 0) | (xy[:, 1] < 0) | (xy[:, 0] > width) | (xy[:, 1] > height)
+            kp = keypoints.copy()
+            kp[..., :2] = xy.reshape(N, K, 2)
+            if ndim == 3:
+                kp[..., 2] = np.where(out_of.reshape(N, K), 0.0, kp[..., 2])
+            keypoints = kp.astype(np.float32)
+        # candidate filter (augment.py box_candidates): wh>2px, ar<100,
+        # area ratio>0.1 (0.01 when polygons define the boxes)
+        area_thr = 0.01 if segments is not None and len(segments) else 0.10
         w1, h1 = boxes[:, 2] - boxes[:, 0], boxes[:, 3] - boxes[:, 1]
         w2, h2 = new[:, 2] - new[:, 0], new[:, 3] - new[:, 1]
         ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
-        keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * scale**2 + 1e-16) > 0.1) & (ar < 100)
+        keep = (w2 > 2) & (h2 > 2) & (w2 * h2 / (w1 * h1 * scale**2 + 1e-16) > area_thr) & (ar < 100)
         boxes, cls = new[keep], cls[keep]
+        if segments is not None and len(segments):
+            segments = segments[keep]
+        if keypoints is not None and len(keypoints):
+            keypoints = keypoints[keep]
+    if segments is not None and keypoints is not None:
+        return img, boxes, cls, segments, keypoints
+    if segments is not None:
+        return img, boxes, cls, segments
+    if keypoints is not None:
+        return img, boxes, cls, keypoints
     return img, boxes, cls
 
 
@@ -345,20 +478,19 @@ class ValTransforms:
 
 
 class SegTrainTransforms:
-    """Letterbox + flips + HSV for segmentation training, rasterizing polygon
-    labels into per-instance masks at proto resolution (imgsz/4).
-
-    Round-1 limitation vs the reference: no mosaic/affine on polygons yet —
-    geometric augmentation is letterbox+flip only (reference applies the full
-    pipeline to segments, augment.py:347-470).
+    """Full geometric pipeline for segmentation training: mosaic + affine on
+    polygons (reference augment.py:447 apply_segments), HSV, flips — then
+    polygons rasterized into per-instance masks at proto resolution (imgsz/4).
     """
 
-    def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 64, mask_ratio: int = 4):
+    def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 64,
+                 mask_ratio: int = 4, seg_points: int = 200):
         self.imgsz = imgsz
         self.hyp = {**DEFAULT_HYP, **(hyp or {})}
         self.max_gt = max_gt
         self.mask_ratio = mask_ratio
-        self.mosaic_enabled = False
+        self.seg_points = seg_points
+        self.mosaic_enabled = True
 
     def close_mosaic(self):
         self.mosaic_enabled = False
@@ -366,20 +498,31 @@ class SegTrainTransforms:
     def __call__(self, dataset, idx: int, rng: np.random.RandomState) -> Dict:
         import cv2
 
-        item = dataset.get_item_raw(idx)
-        img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
-        h0, w0 = item["img"].shape[:2]
-        boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
-        segs = [
-            s * np.array([w0 * gain, h0 * gain], np.float32) + np.array([pad[0], pad[1]], np.float32)
-            for s in item["segments"]
-        ]
-        cls = item["cls"]
-        img = augment_hsv(np.ascontiguousarray(img), rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
-        if rng.rand() < self.hyp["fliplr"]:
-            img = np.ascontiguousarray(np.fliplr(img))
-            boxes[:, [0, 2]] = self.imgsz - boxes[:, [2, 0]]
-            segs = [np.stack([self.imgsz - s[:, 0], s[:, 1]], 1) for s in segs]
+        hyp = self.hyp
+        if self.mosaic_enabled and rng.rand() < hyp["mosaic"]:
+            m = mosaic4(dataset, idx, rng, self.imgsz, seg_points=self.seg_points)
+            img, boxes, cls, segs = m["img"], m["bboxes_xyxy"], m["cls"], m["segments"]
+            border = m["mosaic_border"]
+        else:
+            item = dataset.get_item_raw(idx)
+            img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
+            h0, w0 = item["img"].shape[:2]
+            boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
+            segs = _segments_px(item, boxes, w0 * gain, h0 * gain, pad[0], pad[1], self.seg_points)
+            cls = item["cls"]
+            border = (0, 0)
+        img = np.ascontiguousarray(img)
+        img, boxes, cls, segs = random_perspective(img, boxes, cls, rng, hyp, border, segments=segs)
+        img = augment_hsv(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
+        if rng.rand() < hyp["flipud"]:
+            img = np.flipud(img)
+            boxes[:, [1, 3]] = img.shape[0] - boxes[:, [3, 1]]
+            segs[..., 1] = img.shape[0] - segs[..., 1]
+        if rng.rand() < hyp["fliplr"]:
+            img = np.fliplr(img)
+            boxes[:, [0, 2]] = img.shape[1] - boxes[:, [2, 0]]
+            segs[..., 0] = img.shape[1] - segs[..., 0]
+        img = np.ascontiguousarray(img)
 
         mh = mw = self.imgsz // self.mask_ratio
         M = self.max_gt
@@ -393,43 +536,62 @@ class SegTrainTransforms:
             out_boxes[j] = boxes[j]
             out_cls[j] = cls[j]
             mask[j] = True
-            if len(segs[j]):
-                pts = (segs[j] * r).astype(np.int32)
-                cv2.fillPoly(masks[j], [pts], 1)
-            else:  # box-only label: rectangle mask
-                x1, y1, x2, y2 = (boxes[j] * r).astype(int)
-                masks[j, y1:y2, x1:x2] = 1
+            cv2.fillPoly(masks[j], [(segs[j] * r).astype(np.int32)], 1)
         return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask, "masks": masks}
 
 
 class PoseTrainTransforms:
-    """Letterbox + HSV for pose training with keypoint coordinate transforms.
-
-    Round-1 limitation: no flips (left/right keypoint swap needs the dataset's
-    flip_idx map, reference augment.py:640-660) and no mosaic/affine on kpts.
-    """
+    """Full geometric pipeline for pose training: mosaic + affine on keypoints
+    (reference augment.py:476 apply_keypoints), HSV, flips with the left/right
+    flip_idx swap (augment.py:634-660)."""
 
     def __init__(self, imgsz: int = 640, hyp: Optional[Dict] = None, max_gt: int = 32,
-                 kpt_shape: Tuple[int, int] = (17, 3)):
+                 kpt_shape: Tuple[int, int] = (17, 3), flip_idx: Optional[list] = None):
         self.imgsz = imgsz
         self.hyp = {**DEFAULT_HYP, **(hyp or {})}
         self.max_gt = max_gt
         self.kpt_shape = tuple(kpt_shape)
-        self.mosaic_enabled = False
+        if flip_idx is None:
+            flip_idx = COCO_FLIP_IDX if self.kpt_shape[0] == 17 else list(range(self.kpt_shape[0]))
+        self.flip_idx = list(flip_idx)
+        self.mosaic_enabled = True
 
     def close_mosaic(self):
         self.mosaic_enabled = False
 
     def __call__(self, dataset, idx: int, rng: np.random.RandomState) -> Dict:
-        item = dataset.get_item_raw(idx)
-        img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
-        h0, w0 = item["img"].shape[:2]
-        boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
-        kpts = item.get("keypoints", np.zeros((len(boxes),) + self.kpt_shape, np.float32)).copy()
-        if kpts.size:
-            kpts[..., 0] = kpts[..., 0] * w0 * gain + pad[0]
-            kpts[..., 1] = kpts[..., 1] * h0 * gain + pad[1]
-        img = augment_hsv(np.ascontiguousarray(img), rng, self.hyp["hsv_h"], self.hyp["hsv_s"], self.hyp["hsv_v"])
+        hyp = self.hyp
+        if self.mosaic_enabled and rng.rand() < hyp["mosaic"]:
+            m = mosaic4(dataset, idx, rng, self.imgsz, kpt_shape=self.kpt_shape)
+            img, boxes, cls, kpts = m["img"], m["bboxes_xyxy"], m["cls"], m["keypoints"]
+            border = m["mosaic_border"]
+        else:
+            item = dataset.get_item_raw(idx)
+            img, gain, pad = letterbox_image(item["img"], (self.imgsz, self.imgsz))
+            h0, w0 = item["img"].shape[:2]
+            boxes = xywhn_to_xyxy(item["bboxes"], w0 * gain, h0 * gain, pad[0], pad[1])
+            kpts = item.get("keypoints")
+            if kpts is None or kpts.size == 0:
+                kpts = np.zeros((len(boxes),) + self.kpt_shape, np.float32)
+            else:
+                kpts = kpts.copy()
+                kpts[..., 0] = kpts[..., 0] * w0 * gain + pad[0]
+                kpts[..., 1] = kpts[..., 1] * h0 * gain + pad[1]
+            cls = item["cls"]
+            border = (0, 0)
+        img = np.ascontiguousarray(img)
+        img, boxes, cls, kpts = random_perspective(img, boxes, cls, rng, hyp, border, keypoints=kpts)
+        img = augment_hsv(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
+        if rng.rand() < hyp["flipud"]:
+            img = np.flipud(img)
+            boxes[:, [1, 3]] = img.shape[0] - boxes[:, [3, 1]]
+            kpts[..., 1] = img.shape[0] - kpts[..., 1]
+        if rng.rand() < hyp["fliplr"]:
+            img = np.fliplr(img)
+            boxes[:, [0, 2]] = img.shape[1] - boxes[:, [2, 0]]
+            kpts[..., 0] = img.shape[1] - kpts[..., 0]
+            kpts = kpts[:, self.flip_idx]  # left/right keypoint identity swap
+        img = np.ascontiguousarray(img)
 
         M = self.max_gt
         n = min(len(boxes), M)
@@ -438,9 +600,9 @@ class PoseTrainTransforms:
         mask = np.zeros((M,), bool)
         out_kpts = np.zeros((M,) + self.kpt_shape, np.float32)
         out_boxes[:n] = boxes[:n]
-        out_cls[:n] = item["cls"][:n]
+        out_cls[:n] = cls[:n]
         mask[:n] = True
-        if kpts.size:
+        if len(kpts):
             out_kpts[:n] = kpts[:n]
         return {"img": img, "cls": out_cls, "bboxes": out_boxes, "mask": mask, "keypoints": out_kpts}
 

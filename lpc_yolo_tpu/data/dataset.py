@@ -45,6 +45,8 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
     out["nc"] = int(d.get("nc", len(out["names"])))
     if d.get("kpt_shape"):
         out["kpt_shape"] = tuple(d["kpt_shape"])
+    if d.get("flip_idx"):
+        out["flip_idx"] = list(d["flip_idx"])
     if not out["names"]:
         out["names"] = {i: str(i) for i in range(out["nc"])}
     return out

@@ -35,13 +35,18 @@ def _jit_init(model):
 
 
 def _resolve_yaml(name: str) -> Path:
+    """Resolve a model-config name to a file, stripping the scale letter when
+    needed ('yolov8n-seg.yaml' -> yolov8-seg.yaml; reference tasks.py:1069)."""
+    import re
+
     p = Path(name)
     if p.exists():
         return p
-    for fam in ("v10", "v8"):
-        cand = _CFG_ROOT / fam / p.name
-        if cand.exists():
-            return cand
+    unified = re.sub(r"(\d+)([nsmblx])(.+)?$", r"\1\3", p.stem) + p.suffix
+    for fam in ("v10", "v8", "v9"):
+        for cand in (_CFG_ROOT / fam / p.name, _CFG_ROOT / fam / unified):
+            if cand.exists():
+                return cand
     raise FileNotFoundError(f"model config {name} not found (searched {_CFG_ROOT})")
 
 
@@ -55,8 +60,16 @@ class YOLO:
         if str(model).endswith(".pt"):
             self._load_checkpoint(str(model), nc=nc)
         else:
+            import re
+
+            from ..nn.compiler import yaml_model_load
+
             yaml_path = _resolve_yaml(str(model))
-            self.model = build_model(yaml_path, nc=nc)
+            d = yaml_model_load(yaml_path)
+            m = re.search(r"yolov\d+([nsmblx])", Path(str(model)).stem)
+            if m:  # scale letter from the requested name, not the unified file
+                d["scale"] = m.group(1)
+            self.model = build_model(d, nc=nc)
             self.variables = _jit_init(self.model)
             self.task = task or self._guess_task(yaml_path)
         if self.model.nc != len(self.names):
@@ -169,6 +182,29 @@ class YOLO:
 
         t = Trainer(self, **kw)
         return t.train()
+
+    def export(self, format: str = "tflite", imgsz: int = 640, batch: int = 1, **kw) -> str:
+        """Export to a deployable artifact; returns its path (engine/model.py:561)."""
+        from .exporter import export_model
+
+        return export_model(self, fmt=format, imgsz=imgsz, batch=batch, **kw)
+
+    def benchmark(self, data: Optional[str] = None, imgsz: int = 640, **kw):
+        """Export-all-formats benchmark table (utils/benchmarks.py:44 semantics)."""
+        from ..utils.benchmarks import benchmark
+
+        return benchmark(self, data=data, imgsz=imgsz, **kw)
+
+    def tune(self, data: str, iterations: int = 10, epochs: int = 10, **kw):
+        """Mutation-evolution hyperparameter tuning (engine/tuner.py semantics).
+
+        Fresh models are rebuilt from this facade's source per trial.
+        """
+        from .tuner import Tuner
+
+        src, task, nc = self.ckpt_path, self.task, self.model.nc
+        tuner = Tuner(save_dir=kw.pop("save_dir", "runs/tune"))
+        return tuner(lambda: YOLO(src, task=task, nc=nc), data, iterations=iterations, epochs=epochs, **kw)
 
     def fuse(self) -> "YOLO":
         """Fold BN into conv weights for deploy (BaseModel.fuse semantics)."""

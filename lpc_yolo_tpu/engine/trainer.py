@@ -129,7 +129,9 @@ class Trainer:
         if task == "segment":
             transforms = SegTrainTransforms(self.imgsz, self.hyp, self.max_gt)
         elif task == "pose":
-            transforms = PoseTrainTransforms(self.imgsz, self.hyp, self.max_gt, kpt_shape or (17, 3))
+            transforms = PoseTrainTransforms(
+                self.imgsz, self.hyp, self.max_gt, kpt_shape or (17, 3), flip_idx=info.get("flip_idx")
+            )
         elif task == "obb":
             transforms = OBBTrainTransforms(self.imgsz, self.hyp, self.max_gt)
         else:

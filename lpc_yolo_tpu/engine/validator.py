@@ -44,6 +44,7 @@ class Validator:
         save_json: bool = False,
         save_dir: Optional[str] = None,
         plots: bool = False,
+        anno_json: Optional[str] = None,
     ):
         self.yolo = yolo
         self.imgsz = imgsz
@@ -54,12 +55,22 @@ class Validator:
         self.max_gt = max_gt
         self.workers = workers
         self.save_json = save_json
+        self.anno_json = anno_json
         self.save_dir = Path(save_dir) if save_dir else None
         self.plots = plots
         self.iouv = np.linspace(0.5, 0.95, 10)
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
+        self._predict_cache: Dict[int, object] = {}
 
     def _make_predict(self, model, variables):
+        """Build (or reuse) the jitted forward+decode for this model.
+
+        Memoized on id(model): a fresh @jax.jit closure per __call__ would
+        recompile the full forward+NMS every epoch during training.
+        """
+        cached = self._predict_cache.get(id(model))
+        if cached is not None:
+            return cached
         task = self.yolo.task if self.yolo is not None else "v10"
 
         @jax.jit
@@ -79,10 +90,11 @@ class Validator:
             if task == "obb":
                 # axis-aligned approximation over the rbox xywh (rotated NMS roadmap)
                 return non_max_suppression(
-                    out["pred"][..., : 4 + model.nc], self.conf, 0.45, self.max_det
+                    out["pred"][..., : 4 + model.nc], self.conf, self.iou, self.max_det
                 )
-            return non_max_suppression(out["pred"], self.conf, 0.45, self.max_det)
+            return non_max_suppression(out["pred"], self.conf, self.iou, self.max_det)
 
+        self._predict_cache[id(model)] = predict
         return predict
 
     def __call__(self, data, model=None, variables=None) -> Dict[str, float]:
@@ -147,10 +159,25 @@ class Validator:
             )
         self.metrics = metrics
         self.confusion_matrix = cm
+        results = metrics.results_dict()
         if self.save_json and self.save_dir:
             self.save_dir.mkdir(parents=True, exist_ok=True)
             (self.save_dir / "predictions.json").write_text(json.dumps(json_preds))
-        return metrics.results_dict()
+        if self.save_json:
+            # COCOeval rescoring (detect/val.py:275-297 eval_json); the
+            # annotation source is an instances_val JSON when present, else
+            # the dataset labels themselves.
+            from ..utils.cocoeval import eval_json, yolo_dataset_to_coco
+
+            anno = self.anno_json
+            if anno is None:
+                cand = Path(info["path"]) / "annotations" / "instances_val2017.json"
+                anno = str(cand) if cand.is_file() else yolo_dataset_to_coco(dataset)
+            coco = eval_json(json_preds, anno)
+            results["metrics/mAP50-95(COCO)"] = coco["mAP50-95"]
+            results["metrics/mAP50(COCO)"] = coco["mAP50"]
+            self.coco_stats = coco
+        return results
 
     @staticmethod
     def _to_coco_json(rows: np.ndarray, batch: Dict, j: int) -> List[Dict]:

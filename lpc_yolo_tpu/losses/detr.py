@@ -3,8 +3,8 @@
 Behavioral spec: reference ultralytics/models/utils/ops.py:12-110
 (HungarianMatcher: focal class cost + L1 + GIoU, gains {class:2? -> reference
 default cost_gain = {'class': 1, 'bbox': 5, 'giou': 2}}) and
-models/utils/loss.py:12-220 (DETRLoss: per-layer aux losses, one-hot BCE class
-loss, L1 + GIoU box losses normalized by gt count).
+models/utils/loss.py:12-220 (DETRLoss: per-layer aux losses, varifocal class
+loss with IoU-aware targets, L1 + GIoU box losses normalized by gt count).
 
 TPU design: costs are computed fully in-graph; the assignment itself (an
 inherently sequential combinatorial step over a 300 x M matrix) runs through
@@ -109,15 +109,23 @@ def detr_loss(
         valid = (match >= 0) & mask_gt  # (B, M)
         safe = jnp.clip(match, 0, nq - 1)
 
-        # class: one-hot targets at matched queries, BCE over all queries
-        tgt = jnp.zeros((B, nq, nc))
+        # matched pairs
+        mp = jnp.take_along_axis(pb, safe[..., None], axis=1)  # (B, M, 4)
+        iou_m = bbox_iou(xywh2xyxy(mp), xywh2xyxy(gt_boxes), xywh=False).squeeze(-1)  # (B, M)
+
+        # class: varifocal loss with IoU-aware targets at matched queries
+        # (reference RTDETRDetectionLoss uses use_vfl=True: loss.py:77-80 vfl
+        # on gt_scores = matched-pair IoU, normalized by nq/num_gts -> sum/num_gts)
         b_ix = jnp.arange(B)[:, None]
         onehot = jax.nn.one_hot(jnp.clip(gt_cls, 0, nc - 1), nc) * valid[..., None]
-        tgt = tgt.at[b_ix, safe].add(onehot)
-        loss_cls = jnp.sum(optax_sigmoid_bce(ps, tgt)) / num_gts / nq * nc
+        one_hot_map = jnp.zeros((B, nq, nc)).at[b_ix, safe].add(onehot)
+        iou_valid = jax.lax.stop_gradient(iou_m) * valid
+        gt_score_map = jnp.zeros((B, nq, nc)).at[b_ix, safe].add(onehot * iou_valid[..., None])
+        p_sig = jax.nn.sigmoid(ps)
+        vfl_w = 0.75 * p_sig**2.0 * (1.0 - one_hot_map) + gt_score_map * one_hot_map
+        loss_cls = jnp.sum(optax_sigmoid_bce(ps, gt_score_map) * vfl_w) / num_gts
 
         # box terms on matched pairs
-        mp = jnp.take_along_axis(pb, safe[..., None], axis=1)  # (B, M, 4)
         l1 = jnp.sum(jnp.abs(mp - gt_boxes), axis=-1) * valid
         giou = bbox_iou(xywh2xyxy(mp), xywh2xyxy(gt_boxes), xywh=False, GIoU=True).squeeze(-1)
         loss_bbox = jnp.sum(l1) / num_gts

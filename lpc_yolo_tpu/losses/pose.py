@@ -50,7 +50,6 @@ def v8_pose_loss(
         feats, gt_labels, gt_bboxes, mask_gt, strides, nc, reg_max, return_assign=True, **det_gains
     )
     assign = aux["assign"]
-    tss = aux["target_scores_sum"]
     B, A, nk = kpt_raw.shape
     nkpt, ndim = kpt_shape
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
@@ -68,7 +67,6 @@ def v8_pose_loss(
     sel_gt = jnp.take_along_axis(assign.target_gt_idx, topi, axis=1)  # (B, k)
     sel_pxy = jnp.take_along_axis(pxy, topi[..., None, None], axis=1)  # (B, k, nkpt, 2)
     sel_boxes = jnp.take_along_axis(assign.target_bboxes, topi[..., None], axis=1)  # (B, k, 4)
-    sel_weight = jnp.take_along_axis(score, topi, axis=1)
 
     gtk = jnp.take_along_axis(gt_kpts.astype(jnp.float32), sel_gt[..., None, None], axis=1)  # (B, k, nkpt, ndim)
     kpt_mask = (gtk[..., 2] != 0).astype(jnp.float32) if ndim == 3 else jnp.ones(gtk.shape[:-1])
@@ -81,12 +79,16 @@ def v8_pose_loss(
     e = d2 / ((2 * sigmas[None, None]) ** 2 * (area + 1e-9) * 2)
     kpt_loss_factor = nkpt / (jnp.sum(kpt_mask, axis=-1, keepdims=True) + 1e-9)
     loc = jnp.sum(kpt_loss_factor * (1 - jnp.exp(-e)) * kpt_mask, axis=-1)  # (B, k)
-    loss_pose = jnp.sum(loc * sel_weight * valid) / tss
+    # reference KeypointLoss.forward is a plain .mean() over (n_fg, nkpt)
+    # elements — no score weighting, no target_scores_sum (loss.py:130-145,578)
+    fg_count = jnp.maximum(jnp.sum(valid), 1.0)
+    loss_pose = jnp.sum(loc * valid) / (fg_count * nkpt)
 
     if ndim == 3:
         pv = jnp.take_along_axis(y[..., 2], topi[..., None], axis=1)  # (B, k, nkpt)
         bce = optax_sigmoid_bce(pv, kpt_mask)
-        loss_kobj = jnp.sum(jnp.mean(bce, axis=-1) * sel_weight * valid) / tss
+        # reference bce_pose = nn.BCEWithLogitsLoss() mean over fg x nkpt (loss.py:582)
+        loss_kobj = jnp.sum(jnp.mean(bce, axis=-1) * valid) / fg_count
     else:
         loss_kobj = jnp.float32(0.0)
 

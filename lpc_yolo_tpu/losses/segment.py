@@ -44,7 +44,6 @@ def v8_segmentation_loss(
         box_gain, cls_gain, dfl_gain, return_assign=True,
     )
     assign = aux["assign"]
-    tss = aux["target_scores_sum"]
     B, A, nm = mc.shape
     mh, mw = proto.shape[1], proto.shape[2]
     imgsz_h = feats[0].shape[1] * int(strides[0])
@@ -59,7 +58,6 @@ def v8_segmentation_loss(
     sel_mc = jnp.take_along_axis(mc, topi[..., None], axis=1)  # (B, k, nm)
     sel_gt = jnp.take_along_axis(assign.target_gt_idx, topi, axis=1)  # (B, k)
     sel_boxes = jnp.take_along_axis(assign.target_bboxes, topi[..., None], axis=1)  # (B,k,4) px
-    sel_weight = jnp.take_along_axis(score, topi, axis=1)  # (B, k) soft weights
 
     gt_m = jnp.take_along_axis(
         gt_masks.astype(jnp.float32), sel_gt[..., None, None], axis=1
@@ -79,9 +77,11 @@ def v8_segmentation_loss(
     bce = optax_sigmoid_bce(pm, gt_m) * crop  # (B, k, mh, mw)
     area = jnp.maximum((x2 - x1) * (y2 - y1), 1.0).squeeze((2, 3))  # (B, k)
     per_anchor = jnp.sum(bce, axis=(2, 3)) / area  # (B, k)
-    # reference scales the mask term by box_gain / batch_size (loss.py:320-328),
-    # so after the trainer's *batch_size the seg term carries no B factor.
-    loss_seg = jnp.sum(per_anchor * valid) / tss * box_gain / B
+    # reference: sum over fg anchors, / fg_mask.sum(), * box gain, then the
+    # uniform * batch_size factor (loss.py:335-339,343-344 return
+    # loss.sum() * batch_size with loss[1] = calculate_segmentation_loss / fg_mask.sum())
+    fg_count = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    loss_seg = jnp.sum(per_anchor * valid) / fg_count * box_gain
 
     total = total_det + loss_seg * B
     out_items = jnp.stack([items.box, jax.lax.stop_gradient(loss_seg), items.cls, items.dfl])

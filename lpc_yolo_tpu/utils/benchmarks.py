@@ -32,8 +32,11 @@ def profile_forward(
     from ..ops.postprocess import v10_detections
 
     def forward(img):
-        pred = model.apply(variables, img, training=False, predict_only=True)["pred"]
-        if with_decode:
+        out = model.apply(variables, img, training=False, predict_only=True)
+        if "det" in out:  # v10 head decodes in-graph
+            return jnp.sum(out["det"][:, 0, 4]).astype(jnp.float32)
+        pred = out["pred"]
+        if with_decode and pred.shape[-1] == 4 + model.nc:
             det = v10_detections(pred, 300, model.nc)
             return jnp.sum(det[:, 0, 4]).astype(jnp.float32)
         return jnp.sum(pred[:, 0, :4]).astype(jnp.float32)

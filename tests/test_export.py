@@ -26,6 +26,19 @@ def test_ckpt_export(small_yolo, tmp_path):
     assert path.endswith(".ckpt")
 
 
+def test_facade_export_method(small_yolo, tmp_path):
+    """YOLO.export() parity with reference Model.export (engine/model.py:561)."""
+    path = small_yolo.export(format="stablehlo", imgsz=64, out_dir=tmp_path)
+    assert path.endswith(".stablehlo")
+    fn = load_stablehlo(path)
+    assert np.asarray(fn(jnp.zeros((1, 64, 64, 3), jnp.float32))).shape == (1, 300, 6)
+
+
+def test_facade_benchmark_method(small_yolo, tmp_path):
+    rows = small_yolo.benchmark(imgsz=64, formats=["ckpt"], out_dir=str(tmp_path))
+    assert rows and rows[0]["format"] == "ckpt" and rows[0]["status"] == "ok"
+
+
 def test_unsupported_format_raises(small_yolo, tmp_path):
     with pytest.raises(NotImplementedError):
         export_model(small_yolo, fmt="onnx", out_dir=tmp_path)
