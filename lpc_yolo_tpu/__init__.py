@@ -16,4 +16,16 @@ from .engine import YOLO, Predictor, Results  # noqa: F401
 
 YOLOv10 = YOLO  # alias matching the reference's YOLOv10 facade
 
-__all__ = ["YOLO", "YOLOv10", "Predictor", "Results", "ops", "nn", "losses", "parallel", "__version__"]
+
+class YOLOWorld(YOLO):
+    """Open-vocabulary world-model facade (reference ultralytics/__init__.py
+    exports YOLOWorld; models/yolo/model.py). Defaults to yolov8s-world."""
+
+    def __init__(self, model="yolov8s-world.yaml", **kw):
+        super().__init__(model, **kw)
+
+
+__all__ = [
+    "YOLO", "YOLOv10", "YOLOWorld", "Predictor", "Results",
+    "ops", "nn", "losses", "parallel", "__version__",
+]

@@ -74,17 +74,33 @@ class YOLO:
             self.task = task or self._guess_task(yaml_path)
         if self.model.nc != len(self.names):
             self.names = {i: str(i) for i in range(self.model.nc)}
+        self.txt_feats = None
+        if self.task == "world":
+            from ..utils.text_embed import encode_names
+
+            self.txt_feats = encode_names([self.names[i] for i in sorted(self.names)])[None]
 
     @staticmethod
     def _guess_task(yaml_path: Path) -> str:
         text = Path(yaml_path).read_text()
         for key, task in (
-            ("v10Detect", "v10"), ("RTDETRDecoder", "rtdetr"), ("Segment", "segment"),
-            ("Pose", "pose"), ("OBB", "obb"), ("Classify", "classify"),
+            ("v10Detect", "v10"), ("RTDETRDecoder", "rtdetr"), ("WorldDetect", "world"),
+            ("Segment", "segment"), ("Pose", "pose"), ("OBB", "obb"), ("Classify", "classify"),
         ):
             if key in text:
                 return task
         return "v8"
+
+    def set_classes(self, names, embeddings=None):
+        """Open-vocabulary class set for world models (WorldModel.set_classes,
+        nn/tasks.py:578-590). embeddings: optional (M, 512) real text features
+        (e.g. CLIP); otherwise a deterministic stand-in table is used."""
+        if self.task != "world":
+            raise ValueError("set_classes is only supported on world models")
+        from ..utils.text_embed import encode_names
+
+        self.names = dict(enumerate(map(str, names)))
+        self.txt_feats = encode_names(list(map(str, names)), embeddings=embeddings)[None]  # (1, M, 512)
 
     def _load_checkpoint(self, path: str, nc: Optional[int] = None):
         """Load a reference-format torch checkpoint (.pt) and port weights.
@@ -145,6 +161,7 @@ class YOLO:
             iou=iou,
             max_det=max_det,
             names=self.names,
+            text=jnp.asarray(self.txt_feats) if self.txt_feats is not None else None,
         )
         return predictor(source, stream=stream)
 

@@ -98,6 +98,7 @@ class Predictor:
         iou: float = 0.45,
         max_det: int = 300,
         names: Optional[Dict[int, str]] = None,
+        text: Optional[jnp.ndarray] = None,
     ):
         self.model = model
         self.variables = variables
@@ -108,10 +109,15 @@ class Predictor:
         self.iou = iou
         self.max_det = max_det
         self.names = names or {i: str(i) for i in range(model.nc)}
+        self.text = text  # (1, M, 512) open-vocab class embeddings (world)
         self._predict_jit = jax.jit(self._predict_fn)
 
     def _predict_fn(self, variables, imgs_u8):
         x = device_preprocess(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
+        if self.task == "world":
+            txt = jnp.broadcast_to(self.text, (x.shape[0],) + self.text.shape[1:])
+            out = self.model.apply(variables, x, training=False, predict_only=True, text=txt)
+            return non_max_suppression(out["pred"], self.conf, self.iou, self.max_det)
         out = self.model.apply(variables, x, training=False, predict_only=True)
         if self.task == "v10":
             return out["det"]  # fused top-k decode inside the model graph

@@ -56,11 +56,15 @@ _BASE = {
     "C2fCIB",
     "C2f_SPCA",
     "LPC",
+    "RepNCSPELAN4",
+    "ADown",
+    "SPPELAN",
+    "C2fAttn",
 }
 # Base modules that additionally receive the (depth-scaled) repeat count.
-_REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA"}
+_REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA", "C2fAttn"}
 
-_HEADS = {"Detect", "v10Detect", "Segment", "Pose", "OBB", "RTDETRDecoder"}
+_HEADS = {"Detect", "v10Detect", "Segment", "Pose", "OBB", "RTDETRDecoder", "WorldDetect"}
 
 
 def make_divisible(x: float, divisor: int = 8) -> int:
@@ -126,6 +130,11 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
             c1, c2 = chs[f_list[0]], args[0]
             if c2 != nc:
                 c2 = make_divisible(min(c2, max_channels) * width, 8)
+            if m == "C2fAttn":  # embed channels + heads scaling (tasks.py:902-906)
+                args[1] = make_divisible(min(args[1], max_channels // 2) * width, 8)
+                args[2] = int(
+                    max(round(min(args[2], max_channels // 2 // 32)) * width, 1) if args[2] > 1 else args[2]
+                )
             out_args = [c1, c2, *args[1:]]
             if m in _REPEAT:
                 out_args.insert(2, n_res)
@@ -166,6 +175,22 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
         elif m == "nn.Upsample":
             c2 = chs[f_list[0]]
             out_args = list(args)
+        elif m == "Silence":
+            c2 = chs[f_list[0]]
+            out_args = []
+        elif m == "CBLinear":
+            # c2 is a channel list; stored as the layer's "channels" for
+            # bookkeeping only (consumed exclusively by CBFuse via indices)
+            c1 = chs[f_list[0]]
+            c2 = tuple(args[0])
+            out_args = [c1, c2, *args[1:]]
+        elif m == "CBFuse":
+            c2 = chs[f_list[-1]]
+            out_args = [tuple(args[0])]
+        elif m == "ImagePoolingAttn":
+            # reference routes this through the heads arg-branch (tasks.py:932)
+            out_args = [*args, tuple(chs[x] for x in f_list)]
+            c2 = chs[f_list[-1]]
         else:
             raise NotImplementedError(f"module '{m}' not supported by the TPU compiler yet (layer {i})")
 
@@ -240,6 +265,23 @@ def _build_module(spec: LayerSpec, dtype, name: str):
         return M.Upsample(scale=int(a[1]), name=name)
     if m == "Concat":
         return M.Concat(name=name)
+    if m == "RepNCSPELAN4":
+        return M.RepNCSPELAN4(a[1], a[2], a[3], a[4] if len(a) > 4 else 1, dtype=dtype, name=name)
+    if m == "ADown":
+        return M.ADown(a[1], dtype=dtype, name=name)
+    if m == "SPPELAN":
+        return M.SPPELAN(a[1], a[2], a[3] if len(a) > 3 else 5, dtype=dtype, name=name)
+    if m == "Silence":
+        return M.Silence(name=name)
+    if m == "CBLinear":
+        return M.CBLinear(tuple(a[1]), a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
+    if m == "CBFuse":
+        return M.CBFuse(tuple(a[0]), name=name)
+    if m == "C2fAttn":
+        return M.C2fAttn(
+            a[1], n=a[2], ec=a[3], nh=a[4] if len(a) > 4 else 1,
+            gc=a[5] if len(a) > 5 else 512, dtype=dtype, name=name,
+        )
     raise NotImplementedError(spec.module)
 
 
@@ -261,14 +303,55 @@ class DetectionModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False, predict_only: bool = False):
+    def __call__(self, x, training: bool = False, predict_only: bool = False, text=None):
         y: Dict[int, jnp.ndarray] = {}
+        if text is None and any(
+            s.module in ("C2fAttn", "WorldDetect", "ImagePoolingAttn") for s in self.specs
+        ):
+            # structural default for init/stride-probe; real text embeddings
+            # are passed by the world predict path (set_classes)
+            text = jnp.zeros((x.shape[0], self.nc, 512), self.dtype)
+        txt = text  # running text features (ImagePoolingAttn updates them);
+        # WorldDetect consumes the ORIGINAL text (tasks.py:615 ori_txt_feats)
         for spec in self.specs:
             name = f"model_{spec.i}"
             is_last = spec.i == self.specs[-1].i
 
+            if spec.module == "ImagePoolingAttn":
+                # enhances the text features; x passes through untouched
+                # (reference WorldModel.predict, tasks.py:624-627)
+                xs = [x if j == -1 else y[j] for j in spec.f]
+                ipa = M.ImagePoolingAttn(
+                    ec=spec.args[0], ch=spec.args[-1], dtype=self.dtype, name=name
+                )
+                txt = ipa(xs, txt, training)
+                if spec.i in self.save:
+                    y[spec.i] = x
+                continue
+
             if spec.module in _HEADS:
                 xs = [x if j == -1 else y[j] for j in spec.f]
+                if spec.module == "WorldDetect":
+                    from .heads import WorldDetect as _WD
+
+                    head = _WD(
+                        nc=self.nc,
+                        embed=spec.args[1] if len(spec.args) > 2 else 512,
+                        with_bn=bool(spec.args[2]) if len(spec.args) > 3 else False,
+                        ch=spec.args[-1],
+                        strides=self.strides,
+                        reg_max=self.reg_max,
+                        dtype=self.dtype,
+                        name=name,
+                    )
+                    feats = head(xs, text, training)
+                    if training:
+                        return feats
+                    m_cls = text.shape[1]  # open-vocab class count = text rows
+                    pred = decode_feats(feats, self.strides, m_cls, self.reg_max)
+                    if predict_only:
+                        return {"pred": pred}
+                    return {"feats": feats, "pred": pred}
                 if spec.module == "v10Detect":
                     head = V10Detect(
                         nc=self.nc,
@@ -371,11 +454,14 @@ class DetectionModel(nn.Module):
                 return {"probs": jax.nn.softmax(logits, axis=-1), "logits": logits}
 
             module = _build_module(spec, self.dtype, name)
-            if spec.module == "Concat":
+            if spec.module in ("Concat", "CBFuse"):
                 inp = [x if j == -1 else y[j] for j in spec.f]
             else:
                 inp = x if spec.f[0] == -1 else y[spec.f[0]]
-            x = module(inp, training)
+            if spec.module == "C2fAttn":
+                x = module(inp, txt, training)
+            else:
+                x = module(inp, training)
             if spec.i in self.save:
                 y[spec.i] = x
         return x  # headless graph (feature extractor)

@@ -379,3 +379,44 @@ def decode_feats(
     dist = dfl_expectation(box_logits.astype(jnp.float32), reg_max)
     dbox = dist2bbox(dist, anchor_points, xywh=True) * stride_tensor
     return jnp.concatenate([dbox, jax.nn.sigmoid(cls_logits.astype(jnp.float32))], axis=-1)
+
+
+class WorldDetect(nn.Module):
+    """YOLO-World open-vocabulary head (reference head.py:224-264): v8 box
+    towers + embedding towers whose logits are region-text similarities from a
+    ContrastiveHead, so the class count is the number of text rows."""
+
+    nc: int = 80
+    embed: int = 512
+    with_bn: bool = False
+    ch: Tuple[int, ...] = ()
+    strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], text, training: bool = False):
+        from .modules import BNContrastiveHead, ContrastiveHead
+
+        c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
+        c3 = max(self.ch[0], min(self.nc, 100))
+        outs = []
+        for i, x in enumerate(xs):
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_0")(x, training)
+            b = ConvBN(c2, 3, dtype=self.dtype, name=f"cv2_{i}_1")(b, training)
+            b = nn.Conv(
+                4 * self.reg_max, (1, 1), use_bias=True, kernel_init=kaiming_uniform(),
+                bias_init=_box_bias_init, dtype=self.dtype, name=f"cv2_{i}_2",
+            )(b)
+            e = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_0")(x, training)
+            e = ConvBN(c3, 3, dtype=self.dtype, name=f"cv3_{i}_1")(e, training)
+            e = nn.Conv(
+                self.embed, (1, 1), use_bias=True, kernel_init=kaiming_uniform(),
+                dtype=self.dtype, name=f"cv3_{i}_2",
+            )(e)
+            if self.with_bn:
+                logits = BNContrastiveHead(self.embed, dtype=self.dtype, name=f"cv4_{i}")(e, text, training)
+            else:
+                logits = ContrastiveHead(dtype=self.dtype, name=f"cv4_{i}")(e, text, training)
+            outs.append(jnp.concatenate([b, logits], axis=-1))
+        return tuple(outs)

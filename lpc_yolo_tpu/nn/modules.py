@@ -634,3 +634,318 @@ class Proto(nn.Module):
         )(x)
         x = ConvBN(self.c_, 3, act="mish", dtype=self.dtype, name="cv2")(x, training)
         return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(x, training)
+
+
+# --------------------------------------------------------------------- v9 set
+class RepBottleneck(nn.Module):
+    """Rep bottleneck (reference block.py:559-573): RepConv 3x3 -> Conv 3x3.
+    cv1 is conv.py's RepConv (SiLU); cv2 resolves block.py's Mish Conv."""
+
+    c2: int
+    shortcut: bool = True
+    g: int = 1
+    k: Tuple[int, int] = (3, 3)
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        # reference RepConv defaults to bn=False: no identity-BN branch
+        y = RepConv(c_, self.k[0], 1, use_identity=False, dtype=self.dtype, name="cv1")(x, training)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, act="mish", dtype=self.dtype, name="cv2")(y, training)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return x + y
+        return y
+
+
+class RepCSP(nn.Module):
+    """Rep CSP bottleneck with 3 convolutions (reference block.py:575-590)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        for i in range(self.n):
+            a = RepBottleneck(c_, self.shortcut, self.g, e=1.0, dtype=self.dtype, name=f"m_{i}")(a, training)
+        b = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), training
+        )
+
+
+class RepNCSPELAN4(nn.Module):
+    """CSP-ELAN (reference block.py:592-614): split + two RepCSP->Conv stages."""
+
+    c2: int
+    c3: int
+    c4: int
+    n: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = self.c3 // 2
+        y = ConvBN(self.c3, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        ys = [y[..., :c], y[..., c:]]
+        a = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv2_0")(ys[-1], training)
+        a = ConvBN(self.c4, 3, 1, act="mish", dtype=self.dtype, name="cv2_1")(a, training)
+        ys.append(a)
+        b = RepCSP(self.c4, self.n, dtype=self.dtype, name="cv3_0")(ys[-1], training)
+        b = ConvBN(self.c4, 3, 1, act="mish", dtype=self.dtype, name="cv3_1")(b, training)
+        ys.append(b)
+        return ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv4")(
+            jnp.concatenate(ys, axis=-1), training
+        )
+
+
+class ADown(nn.Module):
+    """v9 downsample (reference block.py:617-635): avg-pool + split, strided
+    conv on one half, max-pool + 1x1 on the other."""
+
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = self.c2 // 2
+        # torch avg_pool2d(x, 2, 1, 0): kernel 2, stride 1, no pad -> H-1
+        x = nn.avg_pool(x, (2, 2), strides=(1, 1), padding="VALID")
+        half = x.shape[-1] // 2
+        x1, x2 = x[..., :half], x[..., half:]
+        x1 = ConvBN(c, 3, 2, p=1, act="mish", dtype=self.dtype, name="cv1")(x1, training)
+        x2 = nn.max_pool(x2, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x2 = ConvBN(c, 1, 1, p=0, act="mish", dtype=self.dtype, name="cv2")(x2, training)
+        return jnp.concatenate([x1, x2], axis=-1)
+
+
+class SPPELAN(nn.Module):
+    """SPP-ELAN (reference block.py:637-655)."""
+
+    c2: int
+    c3: int
+    k: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = [ConvBN(self.c3, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)]
+        p = self.k // 2
+        for _ in range(3):
+            y.append(nn.max_pool(y[-1], (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)]))
+        return ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv5")(
+            jnp.concatenate(y, axis=-1), training
+        )
+
+
+class Silence(nn.Module):
+    """Identity (reference block.py:658-666)."""
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return x
+
+
+class CBLinear(nn.Module):
+    """1x1 conv (with bias, no BN/act) split into a tuple of feature maps
+    (reference block.py:669-681)."""
+
+    c2s: Tuple[int, ...]
+    k: int = 1
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        pad = autopad(self.k)
+        y = nn.Conv(
+            sum(self.c2s), (self.k, self.k), strides=(self.s, self.s),
+            padding=[(pad, pad), (pad, pad)], use_bias=True,
+            kernel_init=kaiming_uniform(), dtype=self.dtype, name="conv",
+        )(x)
+        outs, o = [], 0
+        for c in self.c2s:
+            outs.append(y[..., o:o + c])
+            o += c
+        return tuple(outs)
+
+
+class CBFuse(nn.Module):
+    """Selective nearest-upsample + sum fusion (reference block.py:684-698).
+    Input: list whose first entries are CBLinear tuples, last is a tensor."""
+
+    idx: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, xs, training: bool = False):
+        target = xs[-1].shape[1:3]
+        total = xs[-1]
+        for i, x in enumerate(xs[:-1]):
+            t = x[self.idx[i]]
+            total = total + jax.image.resize(
+                t, (t.shape[0], target[0], target[1], t.shape[3]), method="nearest"
+            )
+        return total
+
+
+# ------------------------------------------------------------- YOLO-World set
+class MaxSigmoidAttnBlock(nn.Module):
+    """Max-sigmoid text-guided attention (reference block.py:404-437)."""
+
+    c2: int
+    nh: int = 1
+    ec: int = 128
+    gc: int = 512
+    scale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, training: bool = False):
+        B, H, W, c1 = x.shape
+        hc = self.c2 // self.nh
+        embed = (
+            ConvBN(self.ec, 1, act=False, dtype=self.dtype, name="ec")(x, training)
+            if c1 != self.ec
+            else x
+        )
+        g = nn.Dense(self.ec, kernel_init=kaiming_uniform(), dtype=self.dtype, name="gl")(guide)
+        g = g.reshape(B, -1, self.nh, hc)  # (B, M, nh, hc)
+        e = embed.reshape(B, H, W, self.nh, hc)
+        aw = jnp.einsum("bhwmc,bnmc->bhwmn", e, g)  # (B, H, W, nh, M)
+        aw = jnp.max(aw, axis=-1) / (hc**0.5)
+        bias = self.param("bias", nn.initializers.zeros, (self.nh,))
+        aw = jax.nn.sigmoid(aw + bias)
+        if self.scale:
+            aw = aw * self.param("scale", nn.initializers.ones, (1, 1, 1, self.nh))
+        y = ConvBN(self.c2, 3, 1, act=False, dtype=self.dtype, name="proj_conv")(x, training)
+        y = y.reshape(B, H, W, self.nh, hc) * aw[..., None]
+        return y.reshape(B, H, W, self.c2)
+
+
+class C2fAttn(nn.Module):
+    """C2f with a text-guided attention branch (reference block.py:439-465)."""
+
+    c2: int
+    n: int = 1
+    ec: int = 128
+    nh: int = 1
+    gc: int = 512
+    shortcut: bool = False
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, training: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        ys = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            ys.append(
+                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(
+                    ys[-1], training
+                )
+            )
+        ys.append(
+            MaxSigmoidAttnBlock(c, nh=self.nh, ec=self.ec, gc=self.gc, dtype=self.dtype, name="attn")(
+                ys[-1], guide, training
+            )
+        )
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), training
+        )
+
+
+class ImagePoolingAttn(nn.Module):
+    """Image-aware text-embedding enhancement (reference block.py:468-511):
+    adaptive k x k max-pool each level, cross-attend text -> pooled patches."""
+
+    ec: int = 256
+    ch: Tuple[int, ...] = ()
+    ct: int = 512
+    nh: int = 8
+    k: int = 3
+    scale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, text, training: bool = False):
+        B = xs[0].shape[0]
+        hc = self.ec // self.nh
+        pooled = []
+        for i, x in enumerate(xs):
+            x = nn.Conv(
+                self.ec, (1, 1), use_bias=True, kernel_init=kaiming_uniform(),
+                dtype=self.dtype, name=f"projections_{i}",
+            )(x)
+            # torch AdaptiveMaxPool2d((k, k)) windows: [floor(j*H/k), ceil((j+1)*H/k))
+            H, W = x.shape[1], x.shape[2]
+            rows = []
+            for r in range(self.k):
+                cols = []
+                r0, r1 = (r * H) // self.k, -(-((r + 1) * H) // self.k)
+                for cdx in range(self.k):
+                    c0, c1 = (cdx * W) // self.k, -(-((cdx + 1) * W) // self.k)
+                    cols.append(jnp.max(x[:, r0:r1, c0:c1, :], axis=(1, 2)))
+                rows.append(jnp.stack(cols, axis=1))
+            pooled.append(jnp.stack(rows, axis=1).reshape(B, self.k * self.k, self.ec))
+        p = jnp.concatenate(pooled, axis=1)  # (B, nf*k^2, ec)
+
+        q = nn.LayerNorm(dtype=self.dtype, name="query_ln")(text)
+        q = nn.Dense(self.ec, kernel_init=kaiming_uniform(), dtype=self.dtype, name="query_fc")(q)
+        kk = nn.LayerNorm(dtype=self.dtype, name="key_ln")(p)
+        kk = nn.Dense(self.ec, kernel_init=kaiming_uniform(), dtype=self.dtype, name="key_fc")(kk)
+        v = nn.LayerNorm(dtype=self.dtype, name="value_ln")(p)
+        v = nn.Dense(self.ec, kernel_init=kaiming_uniform(), dtype=self.dtype, name="value_fc")(v)
+        M = text.shape[1]
+        q = q.reshape(B, M, self.nh, hc)
+        kk = kk.reshape(B, -1, self.nh, hc)
+        v = v.reshape(B, -1, self.nh, hc)
+        aw = jnp.einsum("bnmc,bkmc->bmnk", q, kk) / (hc**0.5)
+        aw = jax.nn.softmax(aw, axis=-1)
+        out = jnp.einsum("bmnk,bkmc->bnmc", aw, v).reshape(B, M, self.ec)
+        out = nn.Dense(self.ct, kernel_init=kaiming_uniform(), dtype=self.dtype, name="proj")(out)
+        s = self.param("scale", nn.initializers.zeros, (1,)) if self.scale else 1.0
+        return out * s + text
+
+
+class ContrastiveHead(nn.Module):
+    """Region-text similarity logits (reference block.py:514-531)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, w, training: bool = False):
+        # x (B, H, W, C), w (B, M, C) -> (B, H, W, M)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        bias = self.param("bias", nn.initializers.zeros, ())
+        logit_scale = self.param(
+            "logit_scale", lambda k, s: jnp.full(s, math.log(1 / 0.07)), ()
+        )
+        return jnp.einsum("bhwc,bmc->bhwm", x, w) * jnp.exp(logit_scale) + bias
+
+
+class BNContrastiveHead(nn.Module):
+    """BatchNorm variant of ContrastiveHead (reference block.py:534-556)."""
+
+    embed_dims: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, w, training: bool = False):
+        x = nn.BatchNorm(
+            use_running_average=not training, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype, name="norm",
+        )(x)
+        w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+        bias = self.param("bias", nn.initializers.zeros, ())
+        logit_scale = self.param("logit_scale", lambda k, s: jnp.full(s, -1.0), ())
+        return jnp.einsum("bhwc,bmc->bhwm", x, w) * jnp.exp(logit_scale) + bias
