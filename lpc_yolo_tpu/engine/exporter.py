@@ -108,6 +108,21 @@ def export_model(
     module.f = tf_fn
     sm_path = out_dir / f"{stem}_saved_model"
     tf.saved_model.save(module, str(sm_path), signatures={"serving_default": tf_fn})
+    # io_spec sidecar: graph tensor names for native (TF C API) clients
+    try:
+        from tensorflow.python.tools import saved_model_utils
+
+        sig = saved_model_utils.get_meta_graph_def(str(sm_path), "serve").signature_def["serving_default"]
+        spec = {
+            "inputs": {k: v.name for k, v in sig.inputs.items()},
+            "outputs": {k: v.name for k, v in sig.outputs.items()},
+            "input_shape": list(in_shape),
+            "output_shape": [batch, max_det, 6],
+            "nc": yolo.model.nc,
+        }
+        (sm_path / "io_spec.json").write_text(json.dumps(spec, indent=1))
+    except Exception:  # noqa: BLE001 — sidecar is best-effort
+        pass
     if fmt == "saved_model":
         return str(sm_path)
 

@@ -94,3 +94,30 @@ def decode_v8_head(out: np.ndarray, nc: int, conf: float = 0.25, v5_layout: bool
     cand = np.empty((A, 6), np.float32)
     n = lib.decode_head(out.reshape(-1), A, nc, int(v5_layout), conf, cand.reshape(-1), A)
     return cand[:n]
+
+
+def build_tf_client(force: bool = False) -> Path:
+    """Compile native/tf_client.cc -> tf_client executable (TF C API link).
+
+    The native analog of the reference's model-executing clients
+    (examples/YOLOv8-CPP-Inference, -ONNXRuntime-CPP): runs the Exporter's
+    SavedModel natively with no Python in the loop.
+    """
+    import tensorflow as tf
+
+    tf_root = Path(tf.__file__).parent
+    src = _NATIVE_DIR / "tf_client.cc"
+    out = _NATIVE_DIR / "tf_client"
+    if out.exists() and not force and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    subprocess.run(
+        [
+            "g++", "-O2", "-std=c++17", f"-I{tf_root}/include",
+            str(src), str(_NATIVE_DIR / "pre_post.cc"), "-o", str(out),
+            f"-L{tf_root}", "-l:libtensorflow_cc.so.2", "-l:libtensorflow_framework.so.2",
+            f"-Wl,-rpath,{tf_root}",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return out

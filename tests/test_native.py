@@ -91,3 +91,43 @@ def test_demo_cli(tmp_path):
     out = subprocess.run([str(demo_bin), str(ppm), "320"], capture_output=True, text=True, check=True)
     assert "letterbox: 150x100 -> 320x320" in out.stdout
     assert "normalized" in out.stdout
+
+
+@pytest.mark.slow
+def test_tf_client_executes_exported_model(tmp_path):
+    """The native client must RUN the exported SavedModel (image -> letterbox
+    -> model -> detections, no Python) and agree with the JAX predict path
+    (reference analog: examples/YOLOv8-CPP-Inference/inference.cpp:30-41)."""
+    import cv2
+
+    from lpc_yolo_tpu import YOLO
+    from lpc_yolo_tpu.engine.exporter import export_model
+    from lpc_yolo_tpu.native import build_tf_client
+
+    rng = np.random.RandomState(7)
+    img_bgr = rng.randint(0, 255, (80, 100, 3), np.uint8)
+    cv2.rectangle(img_bgr, (20, 20), (60, 60), (255, 255, 255), -1)
+    ppm = tmp_path / "img.ppm"
+    with open(ppm, "wb") as f:
+        f.write(b"P6\n100 80\n255\n")
+        f.write(img_bgr[..., ::-1].tobytes())  # PPM stores RGB
+
+    y = YOLO("yolov10n.yaml", nc=3)
+    sm = export_model(y, fmt="saved_model", imgsz=64, out_dir=tmp_path)
+    client = build_tf_client()
+    out = subprocess.run(
+        [str(client), sm, str(ppm), "64", "0.0"],
+        capture_output=True, text=True, timeout=600, check=True,
+    )
+    rows = np.array([[float(v) for v in ln.split()] for ln in out.stdout.strip().splitlines()])
+    assert rows.shape == (300, 6), f"client did not emit 300 detections:\n{out.stderr[-500:]}"
+
+    # JAX reference path on the identical image
+    res = y.predict(img_bgr, imgsz=64, conf=0.0, max_det=300)[0]
+    jb = np.asarray(res.boxes.data)  # (300, 6) xyxy conf cls in original space
+    order_c = np.lexsort((rows[:, 0], -rows[:, 4]))
+    order_j = np.lexsort((jb[:, 0], -jb[:, 4]))
+    a, b = rows[order_c][:20], jb[order_j][:20]
+    np.testing.assert_allclose(a[:, 4], b[:, 4], atol=2e-3)  # confidences
+    np.testing.assert_allclose(a[:, :4], b[:, :4], atol=1.5)  # boxes (px)
+    assert (a[:, 5] == b[:, 5]).mean() > 0.9  # classes
