@@ -189,3 +189,26 @@ def test_probiou():
     far = np.array([[150, 150, 20, 10, 0.0]], np.float32)
     assert probiou_np(a, rot)[0] < same[0]
     assert probiou_np(a, far)[0] < 0.1
+
+
+def test_run_ray_tune_offline_fallback():
+    """run_ray_tune falls back to local successive halving without ray."""
+    from lpc_yolo_tpu.utils.tuner import DEFAULT_SPACE, run_ray_tune
+
+    calls = []
+
+    class FakeYolo:
+        def train(self, data=None, epochs=1, hyp=None, **kw):
+            calls.append((epochs, dict(hyp)))
+            # fitness peaks when lr0 is high: makes the ranking deterministic
+            return {"fitness": hyp["lr0"]}
+
+    out = run_ray_tune(lambda: FakeYolo(), data="d.yaml", max_samples=4, grace_period=2, epochs=4)
+    assert set(out) == {"best_hyp", "best_fitness", "trials"}
+    assert out["trials"] == 4
+    assert set(out["best_hyp"]) == set(DEFAULT_SPACE)
+    short = [c for c in calls if c[0] == 2]
+    full = [c for c in calls if c[0] == 4]
+    assert len(short) == 4 and len(full) == 2  # halving kept the top half
+    lr0s = [h["lr0"] for _, h in short]
+    assert abs(out["best_fitness"] - max(lr0s)) < 1e-12
