@@ -25,7 +25,25 @@ class YOLOWorld(YOLO):
         super().__init__(model, **kw)
 
 
+def __getattr__(name):  # lazy heavyweight families (reference exports them eagerly)
+    if name == "SAM":
+        from .models.sam import SAM
+
+        return SAM
+    if name == "FastSAM":
+        from .models.fastsam import FastSAM
+
+        return FastSAM
+    if name == "NAS":
+        from .models.nas import NAS
+
+        return NAS
+    if name == "RTDETR":
+        return YOLO  # rtdetr task resolves from the YAML/ckpt head
+    raise AttributeError(name)
+
+
 __all__ = [
-    "YOLO", "YOLOv10", "YOLOWorld", "Predictor", "Results",
-    "ops", "nn", "losses", "parallel", "__version__",
+    "YOLO", "YOLOv10", "YOLOWorld", "SAM", "FastSAM", "NAS", "RTDETR",
+    "Predictor", "Results", "ops", "nn", "losses", "parallel", "__version__",
 ]

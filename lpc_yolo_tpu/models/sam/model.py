@@ -1,0 +1,204 @@
+"""SAM / MobileSAM facade: promptable segmentation.
+
+Behavioral spec: reference models/sam/model.py (SAM facade), predict.py
+(Predictor.prompt_inference:152-209, postprocess:349-387), modules/sam.py
+(Sam: mean/std normalize + encoder/prompt/decoder wiring), build.py
+(build_mobile_sam:55-64).
+
+TPU design: one jitted program runs encoder + prompt encode + mask decode for
+a fixed prompt budget; masks are upscaled in-graph (jax.image bilinear) to the
+1024 input frame, then cropped/resized to the original image on host.
+
+Zero-egress note: `SAM('mobile_sam')` builds the architecture with random
+init; `SAM('mobile_sam.pt')` ports the torch checkpoint when one is provided
+locally (same porter the parity test uses with a random-init torch build).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .prompt_mask import MaskDecoder, PromptEncoder
+from .tiny_encoder import TinyViT
+
+MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+STD = np.array([58.395, 57.12, 57.375], np.float32)
+IMG_SIZE = 1024
+
+
+class MobileSam(nn.Module):
+    """TinyViT encoder + prompt encoder + mask decoder (modules/sam.py:17-65)."""
+
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.image_encoder = TinyViT(dtype=self.dtype)
+        self.prompt_encoder = PromptEncoder(dtype=self.dtype)
+        self.mask_decoder = MaskDecoder(dtype=self.dtype)
+
+    def encode_image(self, x_rgb01):
+        """x (B, 1024, 1024, 3) RGB in [0,1] -> (B, 64, 64, 256)."""
+        x = (x_rgb01 * 255.0 - MEAN) / STD
+        return self.image_encoder(x)
+
+    def decode(self, embeddings, points, labels, masks=None):
+        """embeddings (B, 64, 64, 256); points (B, N, 2) px in the 1024 frame;
+        labels (B, N); masks optional (B, 256, 256, 1) prompt.
+        Returns (masks (B, 4, 256, 256) logits, iou (B, 4))."""
+        sparse, dense = self.prompt_encoder(points, labels, masks)
+        pe = self.prompt_encoder.dense_pe()[None]  # (1, 64, 64, 256)
+        pe = jnp.broadcast_to(pe, embeddings.shape)
+        return self.mask_decoder(embeddings, pe, sparse, dense)
+
+    def __call__(self, x_rgb01, points, labels, masks=None):
+        emb = self.encode_image(x_rgb01)
+        return self.decode(emb, points, labels, masks)
+
+
+class SAM:
+    """User facade (reference models/sam/model.py): `SAM('mobile_sam.pt')`
+    then `.predict(img, points=..., bboxes=...)` -> list of Results."""
+
+    def __init__(self, model: str = "mobile_sam", max_points: int = 8):
+        self.model_name = str(model)
+        self.max_points = max_points
+        self.net = MobileSam()
+        if str(model).endswith(".pt"):
+            from .port import load_torch_sam
+
+            self.variables = load_torch_sam(str(model), self.net)
+        else:
+            self.variables = jax.jit(
+                lambda: self.net.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3)),
+                    jnp.zeros((1, max_points, 2)),
+                    -jnp.ones((1, max_points), jnp.int32),
+                    jnp.zeros((1, 256, 256, 1)),  # materialize mask_downscaling
+                )
+            )()
+        self._encode = jax.jit(lambda v, x: self.net.apply(v, x, method=MobileSam.encode_image))
+        self._decode = jax.jit(lambda v, e, p, l: self.net.apply(v, e, p, l, method=MobileSam.decode))
+        self._emb = None
+        self._img_meta = None
+
+    # -------------------------------------------------------------- predict
+    @staticmethod
+    def _prep(img_bgr: np.ndarray) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+        """Resize longest side to 1024, pad bottom/right (predict.py:77-121)."""
+        import cv2
+
+        h0, w0 = img_bgr.shape[:2]
+        r = IMG_SIZE / max(h0, w0)
+        nh, nw = round(h0 * r), round(w0 * r)
+        im = cv2.resize(img_bgr, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas = np.zeros((IMG_SIZE, IMG_SIZE, 3), np.float32)
+        canvas[:nh, :nw] = im[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB [0,1]
+        return canvas, r, (h0, w0)
+
+    def set_image(self, img_bgr: np.ndarray):
+        """Cache image embeddings for repeated prompting (predict.py:401-424)."""
+        canvas, r, (h0, w0) = self._prep(img_bgr)
+        self._emb = self._encode(self.variables, jnp.asarray(canvas[None]))
+        self._img_meta = (r, h0, w0)
+
+    def reset_image(self):
+        self._emb = None
+        self._img_meta = None
+
+    def _prompts_to_arrays(self, points, labels, bboxes, r) -> Tuple[np.ndarray, np.ndarray]:
+        """Scale prompts into the 1024 frame and pad to the static budget."""
+        pts, labs = [], []
+        if points is not None:
+            p = np.asarray(points, np.float32).reshape(-1, 2) * r
+            l = (np.ones(len(p)) if labels is None else np.asarray(labels).reshape(-1)).astype(np.int32)
+            pts.append(p)
+            labs.append(l)
+        if bboxes is not None:
+            b = np.asarray(bboxes, np.float32).reshape(-1, 4) * r
+            corners = b.reshape(-1, 2, 2)
+            pts.append(corners.reshape(-1, 2))
+            labs.append(np.tile(np.array([2, 3], np.int32), len(b)))
+        if not pts:  # center-point default
+            pts = [np.array([[IMG_SIZE / 2, IMG_SIZE / 2]], np.float32)]
+            labs = [np.array([1], np.int32)]
+        p = np.concatenate(pts)[: self.max_points]
+        l = np.concatenate(labs)[: self.max_points]
+        N = self.max_points
+        out_p = np.zeros((1, N, 2), np.float32)
+        out_l = -np.ones((1, N), np.int32)
+        out_p[0, : len(p)] = p
+        out_l[0, : len(l)] = l
+        return out_p, out_l
+
+    def predict(
+        self,
+        source,
+        points=None,
+        labels=None,
+        bboxes=None,
+        multimask_output: bool = False,
+        conf: float = 0.0,
+        **kw,
+    ):
+        """Segment with point/box prompts; returns a list of Results."""
+        import cv2
+
+        from ...engine.results import Results
+
+        if isinstance(source, (str,)):
+            img = cv2.imread(str(source))
+            path = str(source)
+        else:
+            img = np.asarray(source)
+            path = "array"
+        if self._emb is None or self._img_meta is None:
+            self.set_image(img)
+        r, h0, w0 = self._img_meta
+        p, l = self._prompts_to_arrays(points, labels, bboxes, r)
+        masks_lr, iou = self._decode(self.variables, self._emb, jnp.asarray(p), jnp.asarray(l))
+        masks_lr, iou = np.asarray(masks_lr), np.asarray(iou)  # (1,4,256,256), (1,4)
+
+        sel = slice(1, 4) if multimask_output else slice(0, 1)
+        m = masks_lr[0, sel]
+        scores = iou[0, sel]
+        # upscale 256 -> 1024, crop the unpadded region, resize to original
+        nh, nw = round(h0 * r), round(w0 * r)
+        out_masks = []
+        for mm in m:
+            up = cv2.resize(mm, (IMG_SIZE, IMG_SIZE), interpolation=cv2.INTER_LINEAR)
+            up = up[:nh, :nw]
+            up = cv2.resize(up, (w0, h0), interpolation=cv2.INTER_LINEAR)
+            out_masks.append(up > 0.0)
+        out_masks = np.stack(out_masks)  # (K, h0, w0) bool
+
+        # boxes from masks + iou scores as confidence
+        rows = []
+        for mm, s in zip(out_masks, scores):
+            ys, xs = np.nonzero(mm)
+            if len(xs) == 0:
+                rows.append([0, 0, 0, 0, float(s), 0])
+            else:
+                rows.append([xs.min(), ys.min(), xs.max(), ys.max(), float(s), 0])
+        res = Results(
+            orig_img=img,
+            path=path,
+            names={0: "object"},
+            boxes=np.array(rows, np.float32),
+            masks=out_masks.astype(np.float32),
+        )
+        self.reset_image()
+        return [res]
+
+    def __call__(self, source, **kw):
+        return self.predict(source, **kw)
+
+    @property
+    def n_params(self) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.variables["params"]))

@@ -630,7 +630,8 @@ class Proto(nn.Module):
     def __call__(self, x, training: bool = False):
         x = ConvBN(self.c_, 3, act="mish", dtype=self.dtype, name="cv1")(x, training)
         x = nn.ConvTranspose(
-            self.c_, (2, 2), strides=(2, 2), use_bias=True, kernel_init=kaiming_uniform(), dtype=self.dtype, name="upsample"
+            self.c_, (2, 2), strides=(2, 2), use_bias=True, transpose_kernel=True,
+            kernel_init=kaiming_uniform(), dtype=self.dtype, name="upsample"
         )(x)
         x = ConvBN(self.c_, 3, act="mish", dtype=self.dtype, name="cv2")(x, training)
         return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(x, training)
