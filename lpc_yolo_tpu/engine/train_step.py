@@ -129,17 +129,33 @@ def make_train_step(
              'mask': (B,M) bool}
     """
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, step=0):
         img = batch["img"]
         if img.dtype == jnp.uint8:
             # uint8 BGR from the loader: normalize + BGR->RGB on device, matching
             # the reference's Format transform (augment.py:876) + /255 preprocess.
             img = img.astype(jnp.float32)[..., ::-1] / 255.0
+        dn = None
+        if loss_kind == "rtdetr":
+            # contrastive denoising queries (models/utils/ops.py:153)
+            h, w = img.shape[1], img.shape[2]
+            scale = jnp.array([w, h, w, h], jnp.float32)
+            xyxy_n = batch["bboxes"] / scale
+            cxcywh = jnp.concatenate(
+                [(xyxy_n[..., :2] + xyxy_n[..., 2:]) / 2, xyxy_n[..., 2:] - xyxy_n[..., :2]], -1
+            )
+            dn = {
+                "cls": batch["cls"],
+                "bboxes": cxcywh,
+                "mask": batch["mask"],
+                "key": jax.random.fold_in(jax.random.PRNGKey(42), step),
+            }
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img,
             training=True,
             mutable=["batch_stats"],
+            dn=dn,
         )
         if loss_kind == "v10":
             total, items = v10_detect_loss(
@@ -181,7 +197,7 @@ def make_train_step(
     @jax.jit
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (loss, (new_stats, items)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, state.step
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

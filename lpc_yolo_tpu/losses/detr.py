@@ -83,6 +83,123 @@ def hungarian_match(
     )
 
 
+def get_cdn_attn_mask(M: int, G: int, nq: int) -> np.ndarray:
+    """Static denoising attention mask (models/utils/ops.py:240-252 semantics):
+    True = attention BLOCKED. Matching queries cannot see dn queries; dn
+    groups cannot see each other (block layout reproduced exactly, including
+    the reference's 2M-sized group stripes)."""
+    num_dn = 2 * G * M
+    tgt = num_dn + nq
+    mask = np.zeros((tgt, tgt), bool)
+    mask[num_dn:, :num_dn] = True
+    for i in range(G):
+        lo, hi = 2 * M * i, 2 * M * (i + 1)
+        mask[lo:hi, hi:num_dn] = True
+        mask[lo:hi, :lo] = True
+    return mask
+
+
+def get_cdn_group(
+    gt_cls: jnp.ndarray,  # (B, M) int
+    gt_bboxes: jnp.ndarray,  # (B, M, 4) normalized cxcywh
+    mask_gt: jnp.ndarray,  # (B, M)
+    nc: int,
+    class_embed: jnp.ndarray,  # (nc, hd)
+    key,
+    num_queries: int,
+    num_dn: int = 100,
+    cls_noise_ratio: float = 0.5,
+    box_noise_scale: float = 1.0,
+):
+    """Contrastive-denoising query group (models/utils/ops.py:153-252),
+    static-shape: G = max(1, num_dn // M) groups of M positives + M negatives
+    per image; padded gt slots carry zero embeddings and are loss-masked.
+
+    Returns (dn_embed (B, 2GM, hd), dn_bbox_logit (B, 2GM, 4),
+    attn_mask (2GM+nq, 2GM+nq) True=blocked, G).
+    """
+    B, M = gt_cls.shape
+    G = max(1, num_dn // max(M, 1))
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    # tile to (B, 2G, M): groups 0..G-1 positive, G..2G-1 negative
+    cls = jnp.broadcast_to(gt_cls[:, None, :], (B, 2 * G, M))
+    box = jnp.broadcast_to(gt_bboxes[:, None, :, :], (B, 2 * G, M, 4))
+    valid = jnp.broadcast_to(mask_gt[:, None, :], (B, 2 * G, M))
+
+    if cls_noise_ratio > 0:
+        flip = jax.random.uniform(k1, cls.shape) < (cls_noise_ratio * 0.5)
+        rand_lab = jax.random.randint(k2, cls.shape, 0, nc)
+        cls = jnp.where(flip, rand_lab, cls)
+
+    if box_noise_scale > 0:
+        xyxy = xywh2xyxy(box)
+        diff = jnp.tile(box[..., 2:] * 0.5, (1, 1, 1, 2)) * box_noise_scale
+        sign = jax.random.randint(k3, box.shape, 0, 2) * 2.0 - 1.0
+        part = jax.random.uniform(k4, box.shape)
+        neg = jnp.arange(2 * G)[None, :, None, None] >= G  # negative groups
+        part = part + neg.astype(part.dtype)  # negatives pushed outside the box
+        xyxy = jnp.clip(xyxy + part * sign * diff, 0.0, 1.0)
+        box = jnp.concatenate([(xyxy[..., :2] + xyxy[..., 2:]) / 2, xyxy[..., 2:] - xyxy[..., :2]], -1)
+    box = jnp.clip(box, 1e-6, 1 - 1e-6)
+    dn_bbox = jnp.log(box / (1.0 - box))  # inverse sigmoid (logit space)
+
+    emb = class_embed[jnp.clip(cls, 0, nc - 1)]  # (B, 2G, M, hd)
+    emb = emb * valid[..., None]  # padded slots -> zeros (reference padding_cls)
+    dn_bbox = dn_bbox * valid[..., None]
+
+    attn_mask = jnp.asarray(get_cdn_attn_mask(M, G, num_queries))
+    return emb.reshape(B, 2 * G * M, -1), dn_bbox.reshape(B, 2 * G * M, 4), attn_mask, G
+
+
+def detr_loss_fixed_match(
+    dn_bboxes: jnp.ndarray,  # (L, B, 2GM, 4) normalized cxcywh
+    dn_scores: jnp.ndarray,  # (L, B, 2GM, nc) logits
+    gt_boxes: jnp.ndarray,  # (B, M, 4) normalized cxcywh
+    gt_cls: jnp.ndarray,  # (B, M)
+    mask_gt: jnp.ndarray,  # (B, M)
+    num_group: int,
+    gain_class: float = 1.0,
+    gain_bbox: float = 5.0,
+    gain_giou: float = 2.0,
+) -> jnp.ndarray:
+    """Denoising loss with the known 1:1 assignment (RTDETRDetectionLoss
+    get_dn_match_indices, loss.py:287-345): per group g, positive slot m
+    matches gt m; negatives and padded slots are background."""
+    from .detection import optax_sigmoid_bce
+
+    L, B, D, nc = dn_scores.shape
+    G, M = num_group, gt_boxes.shape[1]
+    num_gts = jnp.maximum(jnp.sum(mask_gt) * G, 1.0)
+    total = 0.0
+    for l in range(L):
+        pb = dn_bboxes[l].reshape(B, 2 * G, M, 4)
+        ps = dn_scores[l].reshape(B, 2 * G, M, nc)
+        pos = pb[:, :G]  # (B, G, M, 4)
+        valid = mask_gt[:, None, :]  # (B, 1, M)
+
+        gt_b = jnp.broadcast_to(gt_boxes[:, None], pos.shape)
+        iou_m = bbox_iou(
+            xywh2xyxy(pos), xywh2xyxy(gt_b), xywh=False
+        ).squeeze(-1)
+        onehot_full = jax.nn.one_hot(jnp.clip(gt_cls, 0, nc - 1), nc)[:, None] * valid[..., None]
+        gt_score = jnp.zeros((B, 2 * G, M, nc))
+        gt_score = gt_score.at[:, :G].set(
+            onehot_full * (jax.lax.stop_gradient(iou_m) * valid)[..., None]
+        )
+        one_hot_map = jnp.zeros((B, 2 * G, M, nc)).at[:, :G].set(onehot_full)
+        p_sig = jax.nn.sigmoid(ps)
+        vfl_w = 0.75 * p_sig**2.0 * (1.0 - one_hot_map) + gt_score * one_hot_map
+        loss_cls = jnp.sum(optax_sigmoid_bce(ps, gt_score) * vfl_w) / num_gts
+
+        l1 = jnp.sum(jnp.abs(pos - gt_b), -1) * valid
+        giou = bbox_iou(xywh2xyxy(pos), xywh2xyxy(gt_b), xywh=False, GIoU=True).squeeze(-1)
+        loss_bbox = jnp.sum(l1) / num_gts
+        loss_giou = jnp.sum((1.0 - giou) * valid) / num_gts
+        total = total + gain_class * loss_cls + gain_bbox * loss_bbox + gain_giou * loss_giou
+    return total
+
+
 def detr_loss(
     dec_bboxes: jnp.ndarray,  # (L, B, nq, 4) normalized cxcywh
     dec_scores: jnp.ndarray,  # (L, B, nq, nc) logits
@@ -139,17 +256,25 @@ def detr_loss(
 
 def rtdetr_loss(out: Dict, gt_labels, gt_bboxes_px, mask_gt, imgsz: Tuple[int, int]):
     """Adapter for the trainer: pixel-xyxy gts -> normalized cxcywh, decoder +
-    encoder aux losses (RTDETRDetectionModel.loss semantics)."""
+    encoder aux losses + denoising loss (RTDETRDetectionModel.loss /
+    RTDETRDetectionLoss.forward semantics, loss.py:287-320)."""
     h, w = imgsz
     scale = jnp.array([w, h, w, h], jnp.float32)
     xyxy_n = gt_bboxes_px / scale
     cxcywh = jnp.concatenate(
         [(xyxy_n[..., :2] + xyxy_n[..., 2:]) / 2, xyxy_n[..., 2:] - xyxy_n[..., :2]], axis=-1
     )
-    total, items = detr_loss(
-        out["dec_bboxes"], out["dec_scores"], cxcywh, gt_labels, mask_gt
-    )
+    dec_b, dec_s = out["dec_bboxes"], out["dec_scores"]
+    num_dn = int(out.get("dn_split", 0))
+    dn_total = 0.0
+    if num_dn:
+        dn_b, dec_b = dec_b[:, :, :num_dn], dec_b[:, :, num_dn:]
+        dn_s, dec_s = dec_s[:, :, :num_dn], dec_s[:, :, num_dn:]
+        dn_total = detr_loss_fixed_match(
+            dn_b, dn_s, cxcywh, gt_labels, mask_gt, int(out["dn_group"])
+        )
+    total, items = detr_loss(dec_b, dec_s, cxcywh, gt_labels, mask_gt)
     enc_total, _ = detr_loss(
         out["enc_bboxes"][None], out["enc_scores"][None], cxcywh, gt_labels, mask_gt
     )
-    return total + enc_total, items
+    return total + enc_total + dn_total, items

@@ -209,14 +209,37 @@ def _hashable(a):
     return a
 
 
-def _build_module(spec: LayerSpec, dtype, name: str):
+def _nchw_prefix(specs: Tuple[LayerSpec, ...], save: Tuple[int, ...]) -> int:
+    """Leading run of low-channel Conv/C2f layers to execute channels-first.
+
+    TPU stores NHWC activations with the channel dim on the 128-wide lane
+    axis; C=3/16/32 stem tensors get padded up to 42x, and the first 2-3
+    layers dominate small-model step time (measured: conv 3->16 @640 b32
+    ~10 ms NHWC vs ~1 ms NCHW). Running the prefix channels-first with
+    identical params is a pure layout change. The prefix ends at the first
+    saved output (consumers expect NHWC), multi-input layer, unsupported
+    module, or once channels reach 128.
+    """
+    n = 0
+    for spec in specs:
+        if spec.module not in ("Conv", "C2f"):
+            break
+        if any(f != -1 for f in spec.f) or spec.i in save:
+            break
+        if not isinstance(spec.c2, int) or spec.c2 >= 128:
+            break
+        n += 1
+    return n
+
+
+def _build_module(spec: LayerSpec, dtype, name: str, nchw: bool = False):
     """Instantiate the linen module for a compiled LayerSpec."""
     m, a = spec.module, spec.args
     if m == "Conv":
         c1, c2 = a[0], a[1]
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
-        return M.ConvBN(c2, k, s, dtype=dtype, name=name)
+        return M.ConvBN(c2, k, s, nchw=nchw, dtype=dtype, name=name)
     if m == "DWConv":
         import math as _math
 
@@ -233,7 +256,7 @@ def _build_module(spec: LayerSpec, dtype, name: str):
     if m == "SPPF":
         return M.SPPF(a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
     if m == "C2f":
-        return M.C2f(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False, dtype=dtype, name=name)
+        return M.C2f(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False, nchw=nchw, dtype=dtype, name=name)
     if m == "C3":
         return M.C3(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
     if m == "PSA":
@@ -303,8 +326,12 @@ class DetectionModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False, predict_only: bool = False, text=None):
+    def __call__(self, x, training: bool = False, predict_only: bool = False, text=None,
+                 input_layout: str = "NHWC", dn=None):
         y: Dict[int, jnp.ndarray] = {}
+        nchw_n = _nchw_prefix(self.specs, self.save)
+        if input_layout == "NCHW" and nchw_n == 0:
+            x = jnp.transpose(x, (0, 2, 3, 1))  # graph has no channels-first stem
         if text is None and any(
             s.module in ("C2fAttn", "WorldDetect", "ImagePoolingAttn") for s in self.specs
         ):
@@ -374,7 +401,7 @@ class DetectionModel(nn.Module):
                     head = RTDETRDecoder(
                         nc=self.nc, ch=spec.args[-1], dtype=self.dtype, name=name,
                     )
-                    out = head(xs, training)
+                    out = head(xs, training, dn=dn)
                     if training:
                         return out
                     return {"pred": out}  # (B, nq, 4+nc), normalized cxcywh + sigmoid cls
@@ -453,15 +480,20 @@ class DetectionModel(nn.Module):
                     return logits
                 return {"probs": jax.nn.softmax(logits, axis=-1), "logits": logits}
 
-            module = _build_module(spec, self.dtype, name)
+            in_prefix = spec.i < nchw_n
+            module = _build_module(spec, self.dtype, name, nchw=in_prefix)
             if spec.module in ("Concat", "CBFuse"):
                 inp = [x if j == -1 else y[j] for j in spec.f]
             else:
                 inp = x if spec.f[0] == -1 else y[spec.f[0]]
+            if in_prefix and spec.i == 0 and input_layout != "NCHW":
+                inp = jnp.transpose(inp, (0, 3, 1, 2))  # enter channels-first stem
             if spec.module == "C2fAttn":
                 x = module(inp, txt, training)
             else:
                 x = module(inp, training)
+            if in_prefix and spec.i == nchw_n - 1:
+                x = jnp.transpose(x, (0, 2, 3, 1))  # back to NHWC for the rest
             if spec.i in self.save:
                 y[spec.i] = x
         return x  # headless graph (feature extractor)

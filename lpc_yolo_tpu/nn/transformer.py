@@ -173,11 +173,13 @@ class DeformableTransformerDecoderLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, embed, refer_bbox, feats, shapes, query_pos=None):
+    def __call__(self, embed, refer_bbox, feats, shapes, query_pos=None, attn_mask=None):
         q = k = embed if query_pos is None else embed + query_pos
+        # flax mask semantics: True = may attend (attn_mask arrives True=blocked)
+        mask = None if attn_mask is None else ~attn_mask[None, None]
         tgt = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, qkv_features=self.d_model, dtype=self.dtype, name="self_attn"
-        )(q, k, embed)
+        )(q, k, embed, mask=mask)
         embed = nn.LayerNorm(dtype=self.dtype, name="norm1")(embed + tgt)
 
         tgt = MSDeformAttn(
@@ -191,11 +193,12 @@ class DeformableTransformerDecoderLayer(nn.Module):
 
 
 class RTDETRDecoder(nn.Module):
-    """Real-Time DETR decoder head (head.py:267-535), inference path.
+    """Real-Time DETR decoder head (head.py:267-535).
 
-    Training-time contrastive denoising (get_cdn_group) is roadmap; forward
-    returns per-layer raw (bboxes, scores) for the DETR loss, or the final
-    (B, nq, 4+nc) prediction at eval.
+    Training may pass a contrastive-denoising batch `dn` = {'cls' (B,M),
+    'bboxes' (B,M,4) normalized cxcywh, 'mask' (B,M), 'key'} — noised gt
+    queries are prepended (get_cdn_group) with the group attention mask, and
+    the per-layer outputs carry num_dn extra queries for the dn loss.
     """
 
     nc: int = 80
@@ -206,10 +209,11 @@ class RTDETRDecoder(nn.Module):
     nh: int = 8
     ndl: int = 6
     d_ffn: int = 1024
+    num_denoising: int = 100
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False):
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False, dn=None):
         B = xs[0].shape[0]
         nl = len(xs)
         # input projection: 1x1 conv + BN per level (head.py:326)
@@ -253,6 +257,26 @@ class RTDETRDecoder(nn.Module):
         embed = jax.lax.stop_gradient(top_feats) if training else top_feats
         refer_bbox = jax.nn.sigmoid(jax.lax.stop_gradient(refer_raw) if training else refer_raw)
 
+        # contrastive denoising group (head.py:366-375 + models/utils/ops.py:153);
+        # the embed table is created unconditionally so init() without a dn
+        # batch still materializes it (reference head.py:335)
+        dn_table = self.param(
+            "denoising_class_embed", nn.initializers.normal(1.0), (self.nc, self.hd)
+        )
+        attn_mask = None
+        num_dn = 0
+        dn_group = 0
+        if training and dn is not None:
+            from ..losses.detr import get_cdn_group
+
+            dn_embed, dn_bbox_logit, attn_mask, dn_group = get_cdn_group(
+                dn["cls"], dn["bboxes"], dn["mask"], self.nc, dn_table, dn["key"],
+                num_queries=k, num_dn=self.num_denoising,
+            )
+            num_dn = dn_embed.shape[1]
+            embed = jnp.concatenate([dn_embed.astype(embed.dtype), embed], axis=1)
+            refer_bbox = jnp.concatenate([jax.nn.sigmoid(dn_bbox_logit).astype(refer_bbox.dtype), refer_bbox], axis=1)
+
         pos_mlp = MLP(2 * self.hd, self.hd, 2, dtype=self.dtype, name="query_pos_head")
 
         dec_bboxes, dec_scores = [], []
@@ -262,7 +286,7 @@ class RTDETRDecoder(nn.Module):
             out = DeformableTransformerDecoderLayer(
                 self.hd, self.nh, self.d_ffn, n_levels=nl, n_points=self.ndp,
                 dtype=self.dtype, name=f"decoder_layers_{i}",
-            )(out, refer_bbox, feats, shapes, query_pos=pos_mlp(refer_bbox))
+            )(out, refer_bbox, feats, shapes, query_pos=pos_mlp(refer_bbox), attn_mask=attn_mask)
             delta = MLP(self.hd, 4, 3, dtype=self.dtype, name=f"dec_bbox_head_{i}")(out)
             refined = jax.nn.sigmoid(delta + inverse_sigmoid(refer_bbox))
             if training:
@@ -275,12 +299,15 @@ class RTDETRDecoder(nn.Module):
                     dec_bboxes.append(refined)
                 refer_bbox = refined
         if training:
-            # stacked per-layer outputs for the DETR loss + encoder outputs
+            # stacked per-layer outputs for the DETR loss + encoder outputs;
+            # the first num_dn queries (if any) belong to the denoising group
             return {
-                "dec_bboxes": jnp.stack(dec_bboxes),  # (ndl, B, nq, 4) normalized cxcywh
-                "dec_scores": jnp.stack(dec_scores),  # (ndl, B, nq, nc) logits
+                "dec_bboxes": jnp.stack(dec_bboxes),  # (ndl, B, num_dn+nq, 4) normalized cxcywh
+                "dec_scores": jnp.stack(dec_scores),  # (ndl, B, num_dn+nq, nc) logits
                 "enc_bboxes": enc_bboxes,
                 "enc_scores": enc_scores,
+                "dn_split": num_dn,
+                "dn_group": dn_group,
             }
         # eval: (B, nq, 4+nc) with sigmoid class scores (head.py:393-395)
         return jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], axis=-1)

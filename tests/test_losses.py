@@ -129,3 +129,38 @@ def test_v10_loss_parity_vs_reference():
     )
     np.testing.assert_allclose(np.asarray(j_items), t_items.numpy(), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(float(j_total), float(t_total.numpy()), rtol=2e-3)
+
+
+def test_cdn_group_shapes_and_semantics():
+    """get_cdn_group (models/utils/ops.py:153): static 2GM queries, positives
+    jittered inside the box, negatives pushed outside, padded slots zeroed."""
+    import jax
+    import jax.numpy as jnp
+
+    from lpc_yolo_tpu.losses.detr import get_cdn_attn_mask, get_cdn_group
+
+    B, M, nc, hd, nq = 2, 5, 7, 16, 30
+    cls = jnp.array(np.random.RandomState(0).randint(0, nc, (B, M)))
+    boxes = jnp.tile(jnp.array([[0.5, 0.5, 0.2, 0.2]], jnp.float32), (B, M, 1))
+    mask = jnp.array([[True] * 3 + [False] * 2, [True] * 5])
+    table = jnp.array(np.random.RandomState(1).randn(nc, hd), jnp.float32)
+    emb, bbox_logit, attn, G = get_cdn_group(
+        cls, boxes, mask, nc, table, jax.random.PRNGKey(0), num_queries=nq
+    )
+    assert G == 100 // M and emb.shape == (B, 2 * G * M, hd)
+    assert bbox_logit.shape == (B, 2 * G * M, 4)
+    assert attn.shape == (2 * G * M + nq, 2 * G * M + nq)
+    # padded gt slots have zero embeddings
+    e = np.asarray(emb).reshape(B, 2 * G, M, hd)
+    assert np.abs(e[0, :, 3:]).max() == 0.0
+    assert np.abs(e[0, :, :3]).max() > 0.0
+    # negatives (groups G..2G-1) are noisier than positives on average
+    bb = jax.nn.sigmoid(np.asarray(bbox_logit)).reshape(B, 2 * G, M, 4)
+    d_pos = np.abs(bb[1, :G] - np.asarray(boxes[1]).reshape(1, M, 4)).mean()
+    d_neg = np.abs(bb[1, G:] - np.asarray(boxes[1]).reshape(1, M, 4)).mean()
+    assert d_neg > d_pos
+    # mask semantics: matching queries blocked from dn; dn groups isolated
+    num_dn = 2 * G * M
+    am = np.asarray(get_cdn_attn_mask(M, G, nq))
+    assert am[num_dn:, :num_dn].all() and not am[num_dn:, num_dn:].any()
+    assert am[0, 2 * M] and not am[0, 0]

@@ -70,12 +70,12 @@ def test_pose_predict():
 
 
 def test_rtdetr_build_and_predict():
-    """RTDETR: exact reference param count (9,623,388 ex the training-only
-    denoising embedding), train/eval outputs, NMS-free predict."""
+    """RTDETR: exact reference param count (9,623,388 + the 80x256 denoising
+    class embedding, head.py:335), train/eval outputs, NMS-free predict."""
     m = build_model(CFG / "v8/yolov8-rtdetr.yaml")
     shapes = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), training=True))
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
-    assert n == 9_623_388
+    assert n == 9_623_388 + 80 * 256
 
     y = YOLO("yolov8-rtdetr.yaml")
     assert y.task == "rtdetr"
