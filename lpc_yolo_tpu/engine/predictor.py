@@ -100,7 +100,9 @@ class Predictor:
         names: Optional[Dict[int, str]] = None,
         text: Optional[jnp.ndarray] = None,
     ):
-        self.model = model
+        # serve the deploy graph: inference-only block rewrites (e.g. the
+        # slice/concat-free C2f, nn/modules.py) over the SAME variable tree
+        self.model = model.clone(deploy=True) if hasattr(model, "deploy") else model
         self.variables = variables
         self.task = task
         self.imgsz = imgsz

@@ -27,6 +27,7 @@ import yaml
 from flax import linen as nn
 
 from . import modules as M
+from . import research as R
 from .transformer import RTDETRDecoder
 from .heads import (
     OBB,
@@ -191,6 +192,38 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
             # reference routes this through the heads arg-branch (tasks.py:932)
             out_args = [*args, tuple(chs[x] for x in f_list)]
             c2 = chs[f_list[-1]]
+        elif m in ("ASFF2", "ASFF3"):
+            # c1 is the channel list of the fused levels; output channels are
+            # the level-selected inter_dim (reference block.py:4651,4693)
+            c1l = [chs[x] for x in f_list]
+            level = args[1] if len(args) > 1 else 0
+            c2 = make_divisible(min(args[0], max_channels) * width, 8)
+            out_args = [tuple(c1l), c2, level]
+            c2 = c1l[level]
+        elif m in R.WIDTH_SCALED:
+            c1, c2 = chs[f_list[0]], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            out_args = [c1, c2, *args[1:]]
+            if m in ("InvertedBottleneck", "MobileNetV3_BLOCK") and len(out_args) > 3 and isinstance(out_args[3], int):
+                out_args[3] = make_divisible(min(out_args[3], max_channels) * width, 8)
+            if m in R.WIDTH_REPEAT:
+                out_args.insert(2, n_res)
+                n_res = 1
+        elif m in R.C1_PREPEND:
+            c1 = chs[f_list[0]]
+            out_args = [c1, *args]
+            c2 = c1
+            if m == "StarBlock":  # repeats fold into the module (tasks.py:975)
+                out_args = [c1, args[0] if args else 3, n_res]
+                n_res = 1
+        elif m in R.C1_ONLY:
+            c1 = chs[f_list[0]]
+            out_args = [c1]
+            c2 = c1
+        elif m in R.PASSTHROUGH:
+            c2 = chs[f_list[0]]
+            out_args = list(args)
         else:
             raise NotImplementedError(f"module '{m}' not supported by the TPU compiler yet (layer {i})")
 
@@ -209,37 +242,14 @@ def _hashable(a):
     return a
 
 
-def _nchw_prefix(specs: Tuple[LayerSpec, ...], save: Tuple[int, ...]) -> int:
-    """Leading run of low-channel Conv/C2f layers to execute channels-first.
-
-    TPU stores NHWC activations with the channel dim on the 128-wide lane
-    axis; C=3/16/32 stem tensors get padded up to 42x, and the first 2-3
-    layers dominate small-model step time (measured: conv 3->16 @640 b32
-    ~10 ms NHWC vs ~1 ms NCHW). Running the prefix channels-first with
-    identical params is a pure layout change. The prefix ends at the first
-    saved output (consumers expect NHWC), multi-input layer, unsupported
-    module, or once channels reach 128.
-    """
-    n = 0
-    for spec in specs:
-        if spec.module not in ("Conv", "C2f"):
-            break
-        if any(f != -1 for f in spec.f) or spec.i in save:
-            break
-        if not isinstance(spec.c2, int) or spec.c2 >= 128:
-            break
-        n += 1
-    return n
-
-
-def _build_module(spec: LayerSpec, dtype, name: str, nchw: bool = False):
+def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False):
     """Instantiate the linen module for a compiled LayerSpec."""
     m, a = spec.module, spec.args
     if m == "Conv":
         c1, c2 = a[0], a[1]
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
-        return M.ConvBN(c2, k, s, nchw=nchw, dtype=dtype, name=name)
+        return M.ConvBN(c2, k, s, dtype=dtype, name=name)
     if m == "DWConv":
         import math as _math
 
@@ -256,7 +266,10 @@ def _build_module(spec: LayerSpec, dtype, name: str, nchw: bool = False):
     if m == "SPPF":
         return M.SPPF(a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
     if m == "C2f":
-        return M.C2f(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False, nchw=nchw, dtype=dtype, name=name)
+        return M.C2f(
+            a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False,
+            deploy=deploy, dtype=dtype, name=name,
+        )
     if m == "C3":
         return M.C3(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
     if m == "PSA":
@@ -305,6 +318,8 @@ def _build_module(spec: LayerSpec, dtype, name: str, nchw: bool = False):
             a[1], n=a[2], ec=a[3], nh=a[4] if len(a) > 4 else 1,
             gc=a[5] if len(a) > 5 else 512, dtype=dtype, name=name,
         )
+    if m in R.ALL_RESEARCH:
+        return R.build_research_module(m, a, dtype, name)
     raise NotImplementedError(spec.module)
 
 
@@ -323,15 +338,15 @@ class DetectionModel(nn.Module):
     nc: int
     strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
     reg_max: int = 16
+    deploy: bool = False  # inference-only block rewrites (same variable tree)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False, predict_only: bool = False, text=None,
                  input_layout: str = "NHWC", dn=None):
         y: Dict[int, jnp.ndarray] = {}
-        nchw_n = _nchw_prefix(self.specs, self.save)
-        if input_layout == "NCHW" and nchw_n == 0:
-            x = jnp.transpose(x, (0, 2, 3, 1))  # graph has no channels-first stem
+        if input_layout == "NCHW":
+            x = jnp.transpose(x, (0, 2, 3, 1))
         if text is None and any(
             s.module in ("C2fAttn", "WorldDetect", "ImagePoolingAttn") for s in self.specs
         ):
@@ -480,20 +495,22 @@ class DetectionModel(nn.Module):
                     return logits
                 return {"probs": jax.nn.softmax(logits, axis=-1), "logits": logits}
 
-            in_prefix = spec.i < nchw_n
-            module = _build_module(spec, self.dtype, name, nchw=in_prefix)
-            if spec.module in ("Concat", "CBFuse"):
+            if spec.module in ("Concat", "CBFuse") or spec.module in R.MULTI_INPUT:
                 inp = [x if j == -1 else y[j] for j in spec.f]
             else:
                 inp = x if spec.f[0] == -1 else y[spec.f[0]]
-            if in_prefix and spec.i == 0 and input_layout != "NCHW":
-                inp = jnp.transpose(inp, (0, 3, 1, 2))  # enter channels-first stem
             if spec.module == "C2fAttn":
+                module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, txt, training)
+            elif spec.n > 1 and spec.module in R.ALL_RESEARCH:
+                # reference stacks repeat-count copies in an nn.Sequential
+                # (tasks.py:1047); unrolled here with per-copy param scopes
+                x = inp
+                for rep in range(spec.n):
+                    x = _build_module(spec, self.dtype, f"{name}_{rep}", deploy=self.deploy)(x, training)
             else:
+                module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, training)
-            if in_prefix and spec.i == nchw_n - 1:
-                x = jnp.transpose(x, (0, 2, 3, 1))  # back to NHWC for the rest
             if spec.i in self.save:
                 y[spec.i] = x
         return x  # headless graph (feature extractor)
@@ -531,12 +548,18 @@ def build_model(
     nc: Optional[int] = None,
     ch: int = 3,
     dtype: Any = jnp.float32,
+    deploy: bool = False,
 ) -> DetectionModel:
-    """Build a DetectionModel from a YAML path/dict, with strides resolved."""
+    """Build a DetectionModel from a YAML path/dict, with strides resolved.
+
+    deploy=True enables inference-only block rewrites (e.g. slice/concat-free
+    C2f). The variable tree is identical to deploy=False, so variables from a
+    training build load unchanged.
+    """
     d = yaml_model_load(cfg) if not isinstance(cfg, dict) else dict(cfg)
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
     specs, save = parse_model(d, ch=ch)
     model = DetectionModel(specs=specs, save=save, nc=d["nc"], dtype=dtype)
     strides = _infer_strides(model, ch=ch)
-    return DetectionModel(specs=specs, save=save, nc=d["nc"], strides=strides, dtype=dtype)
+    return DetectionModel(specs=specs, save=save, nc=d["nc"], strides=strides, deploy=deploy, dtype=dtype)

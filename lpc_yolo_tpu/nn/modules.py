@@ -141,28 +141,146 @@ class Bottleneck(nn.Module):
         return y
 
 
+class _Kernel(nn.Module):
+    """Declares a conv kernel param (same path/init as nn.Conv's 'kernel')."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_uniform(), self.shape, jnp.float32)
+
+
+class _BN(nn.Module):
+    """Declares BatchNorm variables (same paths as nn.BatchNorm), returns them."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32)
+        mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.c,), jnp.float32))
+        var = self.variable("batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _FusedConvBN(nn.Module):
+    """ConvBN's variable tree without executing it; returns BN-folded (W, b).
+
+    Lets deploy-mode blocks do kernel algebra (zero-padding, column sums)
+    while staying checkpoint-compatible with the training-mode modules.
+    Works with both raw and fuse_conv_bn-transformed variables (the fold is
+    the identity on already-fused ones).
+    """
+
+    c1: int
+    c2: int
+    k: int = 1
+    g: int = 1
+
+    @nn.compact
+    def __call__(self):
+        w = _Kernel((self.k, self.k, self.c1 // self.g, self.c2), name="conv")()
+        scale, bias, mean, var = _BN(self.c2, name="bn")()
+        f = scale * jax.lax.rsqrt(var + BN_EPS)
+        return w * f, bias - mean * f
+
+
+class _BottleneckParams(nn.Module):
+    """Bottleneck's variable tree (cv1, cv2) as fused (W, b) pairs."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        p1 = _FusedConvBN(self.c, self.c, 3, name="cv1")()
+        p2 = _FusedConvBN(self.c, self.c, 3, name="cv2")()
+        return p1, p2
+
+
 class C2f(nn.Module):
-    """CSP bottleneck, 2-conv 'faster' variant (reference block.py:214)."""
+    """CSP bottleneck, 2-conv 'faster' variant (reference block.py:214).
+
+    deploy=True switches to an inference-only rewrite that eliminates the
+    channel slice/concat (measured 2-3x faster on TPU at large spatial dims,
+    where XLA pays layout copies for lane-axis splits). The rewrite is exact
+    kernel algebra over the same variable tree:
+      cv2(concat[a, b, m_1..m_n]) = conv(y, [Wa ; Wb + sum_k Wm_k])
+                                    + sum_j conv(g_j, sum_{k>=j} Wm_k)
+    with m_k = b + sum_{j<=k} g_j (shortcut) and each bottleneck's first conv
+    fed from y via an input-channel-zero-padded kernel.
+    """
 
     c2: int
     n: int = 1
     shortcut: bool = False
     g: int = 1
     e: float = 0.5
+    deploy: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         c = int(self.c2 * self.e)
+        if self.deploy and not training and self.g == 1:
+            return self._deploy_call(x, c)
         y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             ys.append(
-                Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(
-                    ys[-1], training
-                )
+                Bottleneck(
+                    c, self.shortcut, self.g, k=(3, 3), e=1.0,
+                    dtype=self.dtype, name=f"m_{i}",
+                )(ys[-1], training)
             )
-        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), training
+        )
+
+    def _deploy_call(self, x, c):
+        dt = self.dtype
+        c1 = x.shape[-1]
+        w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
+        w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
+        bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
+
+        def conv(t, w, p=0):
+            return jax.lax.conv_general_dilated(
+                t, w.astype(dt), (1, 1), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        def pad_front(w):  # consume full y (2c ch), select the b half
+            return jnp.concatenate([jnp.zeros_like(w[:, :, :c]), w], axis=2)
+
+        y = mish(conv(x, w_cv1) + b_cv1.astype(dt))
+        gs = []
+        for k in range(self.n):
+            (w1, b1), (w2, b2) = bots[k]
+            t = conv(y, pad_front(w1), p=1)
+            if self.shortcut:
+                for j in range(k):
+                    t = t + conv(gs[j], w1, p=1)
+            elif k > 0:
+                t = conv(gs[k - 1], w1, p=1)
+            h = mish(t + b1.astype(dt))
+            gs.append(mish(conv(h, w2, p=1) + b2.astype(dt)))
+
+        w_a = w_cv2[:, :, :c, :]
+        w_b = w_cv2[:, :, c:2 * c, :]
+        w_m = [w_cv2[:, :, (2 + k) * c:(3 + k) * c, :] for k in range(self.n)]
+        if self.shortcut:
+            w_y = jnp.concatenate([w_a, w_b + sum(w_m)], axis=2)
+            out = conv(y, w_y)
+            for j in range(self.n):
+                out = out + conv(gs[j], sum(w_m[j:]))
+        else:
+            w_y = jnp.concatenate([w_a, w_b], axis=2)
+            out = conv(y, w_y)
+            for k in range(self.n):
+                out = out + conv(gs[k], w_m[k])
+        return mish(out + b_cv2.astype(dt))
 
 
 class SPPF(nn.Module):
