@@ -32,6 +32,12 @@ def make_tracker(tracker: Union[str, dict] = "bytetrack.yaml", frame_rate: int =
     ttype = cfg.pop("tracker_type", "bytetrack")
     if ttype not in TRACKER_MAP:
         raise ValueError(f"tracker_type must be one of {list(TRACKER_MAP)}, got {ttype}")
+    if ttype == "botsort" and cfg.get("with_reid") and "encoder" not in cfg:
+        from .reid import build_encoder
+
+        cfg["encoder"] = build_encoder(cfg.pop("reid_encoder", "hist"))
+    else:
+        cfg.pop("reid_encoder", None)
     return TRACKER_MAP[ttype](frame_rate=frame_rate, **cfg)
 
 

@@ -108,3 +108,44 @@ def test_make_tracker_from_yaml():
     assert isinstance(t2, BOTSORT)
     with pytest.raises(ValueError):
         make_tracker({"tracker_type": "nope"})
+
+
+def test_botsort_reid_encoder_end_to_end():
+    """BoT-SORT with a real ReID encoder (reference leaves encoder=None,
+    bot_sort.py:158-160): appearance features flow into get_dists and two
+    same-position different-color objects keep distinct ids."""
+    import numpy as np
+
+    from lpc_yolo_tpu.trackers.reid import HistogramEncoder, build_encoder
+    from lpc_yolo_tpu.trackers.track import make_tracker
+
+    enc = HistogramEncoder()
+    img = np.zeros((120, 120, 3), np.uint8)
+    img[10:50, 10:50] = (255, 0, 0)    # blue box
+    img[60:100, 60:100] = (0, 0, 255)  # red box
+    boxes = np.array([[10, 10, 50, 50], [60, 60, 100, 100]], np.float32)
+    f = enc(img, boxes)
+    assert f.shape[0] == 2
+    np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-5)
+    # different colors -> dissimilar embeddings
+    assert float(f[0] @ f[1]) < 0.5
+
+    tracker = make_tracker({"tracker_type": "botsort", "with_reid": True, "reid_encoder": "hist"})
+    assert tracker.with_reid and tracker.encoder is not None
+    for _ in range(3):
+        tracks = tracker.update(boxes, np.array([0.9, 0.9]), np.array([0.0, 1.0]), img)
+    assert len(tracks) == 2
+    assert tracks[0][4] != tracks[1][4]  # distinct ids
+
+
+def test_reid_cnn_encoder_shapes():
+    import numpy as np
+
+    from lpc_yolo_tpu.trackers.reid import CNNEncoder
+
+    enc = CNNEncoder()
+    img = (np.random.RandomState(0).rand(90, 90, 3) * 255).astype(np.uint8)
+    boxes = np.array([[5, 5, 40, 60], [30, 20, 80, 88], [0, 0, 10, 10]], np.float32)
+    f = enc(img, boxes)
+    assert f.shape == (3, 128)
+    np.testing.assert_allclose(np.linalg.norm(f, axis=1), 1.0, rtol=1e-4)
