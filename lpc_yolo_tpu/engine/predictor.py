@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.boxes import scale_boxes
-from ..ops.letterbox import device_preprocess, letterbox_image
+from ..ops.letterbox import device_preprocess_wpack, letterbox_image
 from ..ops.masks import process_mask
 from ..ops.postprocess import non_max_suppression
 from .results import Results
@@ -115,12 +115,16 @@ class Predictor:
         self._predict_jit = jax.jit(self._predict_fn)
 
     def _predict_fn(self, variables, imgs_u8):
-        x = device_preprocess(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
+        # width-packed uint8 feed (byte-identical to NHWC): the low-channel
+        # stem runs on dense 128-lane tiles (compiler._wpack_prefix)
+        x = device_preprocess_wpack(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
         if self.task == "world":
             txt = jnp.broadcast_to(self.text, (x.shape[0],) + self.text.shape[1:])
-            out = self.model.apply(variables, x, training=False, predict_only=True, text=txt)
+            out = self.model.apply(
+                variables, x, training=False, predict_only=True, text=txt, input_layout="WPACK"
+            )
             return non_max_suppression(out["pred"], self.conf, self.iou, self.max_det)
-        out = self.model.apply(variables, x, training=False, predict_only=True)
+        out = self.model.apply(variables, x, training=False, predict_only=True, input_layout="WPACK")
         if self.task == "v10":
             return out["det"]  # fused top-k decode inside the model graph
         if self.task == "classify":
@@ -155,7 +159,8 @@ class Predictor:
                 pred, self.conf, self.iou, self.max_det, return_anchor_idx=True
             )
             mc = jnp.take_along_axis(out["mc"], aidx[..., None], axis=1)  # (B, max_det, nm)
-            masks = jax.vmap(lambda p, c, b: process_mask(p, c, b, x.shape[1:3], upsample=True))(
+            hw = (self.imgsz, self.imgsz)
+            masks = jax.vmap(lambda p, c, b: process_mask(p, c, b, hw, upsample=True))(
                 out["proto"], mc, det[..., :4]
             )  # (B, max_det, H, W) sigmoid masks
             return det, masks
@@ -171,11 +176,12 @@ class Predictor:
         for i in range(0, len(frames), B):
             chunk = frames[i : i + B]
             t0 = time.perf_counter()
-            batch_u8 = np.full((B, self.imgsz, self.imgsz, 3), 114, np.uint8)
+            batch_u8 = np.full((B, self.imgsz, self.imgsz // 8, 24), 114, np.uint8)
             metas = []
             for j, (path, im0) in enumerate(chunk):
                 lb, gain, pad = letterbox_image(im0, (self.imgsz, self.imgsz))
-                batch_u8[j] = lb
+                # width-packed feed: same bytes as HWC, zero-copy reshape
+                batch_u8[j] = lb.reshape(self.imgsz, self.imgsz // 8, 24)
                 metas.append((path, im0))
             t1 = time.perf_counter()
             out = self._predict_jit(self.variables, jnp.asarray(batch_u8))

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data import DataLoader, ValTransforms, YOLODataset, check_det_dataset
-from ..ops.letterbox import device_preprocess
+from ..ops.letterbox import device_preprocess_wpack
 from ..ops.postprocess import non_max_suppression
 from ..utils.metrics import ConfusionMatrix, DetMetrics, box_iou_np, match_predictions
 
@@ -72,11 +72,15 @@ class Validator:
         if cached is not None:
             return cached
         task = self.yolo.task if self.yolo is not None else "v10"
+        # serve the deploy graph, fed channels-first (see Predictor): the
+        # low-channel stem runs NCHW natively, no 3->128 lane padding
+        if hasattr(model, "deploy"):
+            model = model.clone(deploy=True)
 
         @jax.jit
         def predict(variables, imgs_u8):
-            x = device_preprocess(imgs_u8, bgr=True)
-            out = model.apply(variables, x, training=False, predict_only=True)
+            x = device_preprocess_wpack(imgs_u8, bgr=True)
+            out = model.apply(variables, x, training=False, predict_only=True, input_layout="WPACK")
             if task == "v10":
                 return out["det"]
             if task == "rtdetr":
@@ -117,7 +121,8 @@ class Validator:
         json_preds: List[Dict] = []
         for batch in loader:
             t0 = time.perf_counter()
-            imgs = jnp.asarray(batch["img"])
+            b_, h_, w_, _ = batch["img"].shape
+            imgs = jnp.asarray(batch["img"].reshape(b_, h_, w_ // 8, 24))
             t1 = time.perf_counter()
             det = np.asarray(predict(variables, imgs))  # (B, max_det, 6)
             t2 = time.perf_counter()

@@ -242,14 +242,48 @@ def _hashable(a):
     return a
 
 
-def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False):
+def _wpack_prefix(specs: Tuple[LayerSpec, ...]) -> Tuple[int, Tuple[int, ...]]:
+    """Leading run of low-channel Conv/C2f layers to execute width-packed.
+
+    TPU tiles put channels on the 128-wide lane axis, so C=16/32/64 stem
+    activations waste 8x/4x/2x of every HBM access (profiled: ~8 ms of the
+    17 ms v10n b32 step). On the deploy serving path those layers run on a
+    (B, H, W/P, P*C) layout with P = 128/C — dense lanes — via exact
+    block-scattered kernels (modules.packed_conv). Returns (n_layers,
+    per-layer output pack factors); the prefix ends at the first unsupported
+    module, multi-input layer, or C > 64.
+    """
+    n, packs = 0, []
+    p_in = 8  # input fed as (B, H, W/8, 8*3)
+    for spec in specs:
+        if spec.module not in ("Conv", "C2f"):
+            break
+        if any(f != -1 for f in spec.f):
+            break
+        c2 = spec.c2
+        if not isinstance(c2, int) or c2 > 64 or 128 % c2:
+            break
+        s = spec.args[3] if spec.module == "Conv" and len(spec.args) > 3 else 1
+        p_out = 128 // c2
+        if (s * p_out) % p_in:  # packed stride must be integral
+            break
+        if spec.module == "C2f" and p_out != p_in:  # C2f packs uniformly
+            break
+        n += 1
+        packs.append(p_out)
+        p_in = p_out
+    return n, tuple(packs)
+
+
+def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
+                  pack_in: int = 1, pack_out: int = 1):
     """Instantiate the linen module for a compiled LayerSpec."""
     m, a = spec.module, spec.args
     if m == "Conv":
         c1, c2 = a[0], a[1]
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
-        return M.ConvBN(c2, k, s, dtype=dtype, name=name)
+        return M.ConvBN(c2, k, s, pack_in=pack_in, pack_out=pack_out, dtype=dtype, name=name)
     if m == "DWConv":
         import math as _math
 
@@ -268,7 +302,7 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False):
     if m == "C2f":
         return M.C2f(
             a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False,
-            deploy=deploy, dtype=dtype, name=name,
+            deploy=deploy, pack=pack_out, dtype=dtype, name=name,
         )
     if m == "C3":
         return M.C3(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
@@ -344,9 +378,30 @@ class DetectionModel(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False, predict_only: bool = False, text=None,
                  input_layout: str = "NHWC", dn=None):
+        if self.deploy and not training:
+            # fold BN into conv kernels inline for every ConvBN in the graph
+            # (single fusible conv+bias+act chains; see modules.DEPLOY_MATH)
+            token = M.DEPLOY_MATH.set(True)
+            try:
+                return self._run(x, training, predict_only, text, input_layout, dn)
+            finally:
+                M.DEPLOY_MATH.reset(token)
+        return self._run(x, training, predict_only, text, input_layout, dn)
+
+    def _run(self, x, training, predict_only, text, input_layout, dn):
         y: Dict[int, jnp.ndarray] = {}
+        # Deploy serving path fed width-packed (B, H, W/8, 8*3): run the
+        # low-channel stem prefix on the packed layout (dense 128 lanes),
+        # unpack once at the end. NCHW callers are transposed to NHWC.
         if input_layout == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
+        wpack_n, wpacks = (
+            _wpack_prefix(self.specs)
+            if (self.deploy and not training and input_layout == "WPACK")
+            else (0, ())
+        )
+        if input_layout == "WPACK" and wpack_n == 0:
+            x = M.unpack_width(x, 8)
         if text is None and any(
             s.module in ("C2fAttn", "WorldDetect", "ImagePoolingAttn") for s in self.specs
         ):
@@ -499,6 +554,7 @@ class DetectionModel(nn.Module):
                 inp = [x if j == -1 else y[j] for j in spec.f]
             else:
                 inp = x if spec.f[0] == -1 else y[spec.f[0]]
+            in_prefix = spec.i < wpack_n
             if spec.module == "C2fAttn":
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, txt, training)
@@ -508,6 +564,21 @@ class DetectionModel(nn.Module):
                 x = inp
                 for rep in range(spec.n):
                     x = _build_module(spec, self.dtype, f"{name}_{rep}", deploy=self.deploy)(x, training)
+            elif in_prefix:
+                p_in = 8 if spec.i == 0 else wpacks[spec.i - 1]
+                module = _build_module(
+                    spec, self.dtype, name, deploy=self.deploy,
+                    pack_in=p_in, pack_out=wpacks[spec.i],
+                )
+                x = module(inp, training)
+                if spec.i == wpack_n - 1:
+                    x = M.unpack_width(x, wpacks[spec.i])  # rest of graph is NHWC
+                    if spec.i in self.save:
+                        y[spec.i] = x
+                    continue
+                if spec.i in self.save:
+                    y[spec.i] = M.unpack_width(x, wpacks[spec.i])
+                continue
             else:
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, training)

@@ -293,17 +293,21 @@ def decode_feats_topk(
     B = feats[0].shape[0]
     feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
     no = feats[0].shape[-1]
-    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)  # (B, A, no)
-    A = flat.shape[1]
+    A = sum(f.shape[1] * f.shape[2] for f in feats)
     k1 = min(max_det, A)
-    box_logits = flat[..., : 4 * reg_max]
-    cls_logits = flat[..., 4 * reg_max :].astype(jnp.float32)
 
-    # stage 1 on raw logits (sigmoid is monotonic)
-    max_logit = jnp.max(cls_logits, axis=-1)  # (B, A)
+    # stage 1 on raw logits (sigmoid is monotonic). The class max reduces
+    # per scale BEFORE any reshape/concat so the big (B, A, no) tensor is
+    # never materialized in a relayout; all math stays in the feats' dtype
+    # (bf16 on the serving path) and only the k1 selected rows go to f32.
+    max_logit = jnp.concatenate(
+        [jnp.max(f[..., 4 * reg_max:], axis=-1).reshape(B, -1) for f in feats], axis=1
+    ).astype(jnp.float32)  # (B, A)
     _, idx = jax.lax.top_k(max_logit, k1)  # (B, k1)
-    sel_box = jnp.take_along_axis(box_logits, idx[..., None], axis=1)  # (B, k1, 64)
-    sel_cls = jnp.take_along_axis(cls_logits, idx[..., None], axis=1)  # (B, k1, nc)
+    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)  # (B, A, no)
+    sel = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, k1, no)
+    sel_box = sel[..., : 4 * reg_max]
+    sel_cls = sel[..., 4 * reg_max:].astype(jnp.float32)
 
     anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
     sel_anchors = jnp.take_along_axis(

@@ -23,12 +23,21 @@ SiLU. The act defaults below reproduce exactly that behavior.
 
 from __future__ import annotations
 
+import contextvars
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+# Trace-time flag set by DetectionModel on the deploy inference path: every
+# ConvBN folds its BN into the kernel inline (W*f, b-mean*f) and runs
+# conv+bias+act as ONE bf16 chain. Without this, inference BN is a separate
+# (internally f32) elementwise op that XLA cannot fuse into the conv
+# epilogue — profiled cost: a layout round-trip copy pair per stem conv
+# (~3.4 ms of pure copies on v10n b32).
+DEPLOY_MATH = contextvars.ContextVar("lpc_deploy_math", default=False)
 
 # Matches reference initialize_weights (torch_utils.py:342-352): BN eps=1e-3,
 # momentum=0.03 (flax momentum = 1 - torch momentum).
@@ -76,11 +85,62 @@ class ConvBN(nn.Module):
     g: int = 1
     d: int = 1
     act: Any = "silu"  # 'silu' | 'mish' | True (silu) | False/'none'
+    nchw: bool = False  # channels-first execution (same variable tree)
+    pack_in: int = 1  # width-pack factor of the input (deploy serving layout)
+    pack_out: int = 1  # width-pack factor of the output
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         pad = autopad(self.k, self.p, self.d)
+        if not training and DEPLOY_MATH.get():
+            packed = self.pack_in > 1 or self.pack_out > 1
+            cin = x.shape[1] if self.nchw else x.shape[-1]
+            if packed:
+                cin = cin // self.pack_in
+            w = _Kernel((self.k, self.k, cin // self.g, self.c2), name="conv")()
+            scale, bias, mean, var = _BN(self.c2, name="bn")()
+            f = scale * jax.lax.rsqrt(var + BN_EPS)
+            W = (w * f).astype(self.dtype)
+            b = (bias - mean * f).astype(self.dtype)
+            if packed:
+                assert self.g == 1 and self.d == 1
+                return packed_conv(x, W, self.s, self.pack_in, self.pack_out, b=b, act=self.act)
+            dn = ("NCHW", "HWIO", "NCHW") if self.nchw else ("NHWC", "HWIO", "NHWC")
+            y = jax.lax.conv_general_dilated(
+                x, W, (self.s, self.s), [(pad, pad), (pad, pad)],
+                rhs_dilation=(self.d, self.d), dimension_numbers=dn,
+                feature_group_count=self.g,
+            )
+            y = y + (b[:, None, None] if self.nchw else b)
+            return apply_act(y, self.act)
+        if self.nchw:
+            # Channels-first path for low-channel stem layers: TPU puts the
+            # minor-most dim on the 128-wide lane axis, so NHWC tensors with
+            # C=3..64 pad up to 42x; NCHW keeps W (a multiple of 128 at stem
+            # resolutions) on the lanes. Identical params: the HWIO kernel is
+            # declared at nn.Conv's exact path ('conv'/'kernel').
+            w = _Kernel(
+                (self.k, self.k, x.shape[1] // self.g, self.c2), name="conv"
+            )()
+            x = jax.lax.conv_general_dilated(
+                x,
+                w.astype(self.dtype),
+                (self.s, self.s),
+                [(pad, pad), (pad, pad)],
+                rhs_dilation=(self.d, self.d),
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                feature_group_count=self.g,
+            )
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                axis=1,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+            return apply_act(x, self.act)
         x = nn.Conv(
             self.c2,
             (self.k, self.k),
@@ -218,6 +278,8 @@ class C2f(nn.Module):
     g: int = 1
     e: float = 0.5
     deploy: bool = False
+    nchw: bool = False  # deploy-path channels-first execution
+    pack: int = 1  # deploy-path width-pack factor (128 // c2)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -225,6 +287,7 @@ class C2f(nn.Module):
         c = int(self.c2 * self.e)
         if self.deploy and not training and self.g == 1:
             return self._deploy_call(x, c)
+        assert not self.nchw, "nchw C2f requires the deploy inference path"
         y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
@@ -240,15 +303,33 @@ class C2f(nn.Module):
 
     def _deploy_call(self, x, c):
         dt = self.dtype
-        c1 = x.shape[-1]
+        layout = ("NCHW", "HWIO", "NCHW") if self.nchw else ("NHWC", "HWIO", "NHWC")
+        c1 = x.shape[1 if self.nchw else -1]
+        if self.pack > 1:
+            c1 = c1 // self.pack
         w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
         w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
         bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
+        if self.pack > 1:
+            # width-packed serving layout: every bias broadcast tiles over the
+            # pack-repeated channel blocks; convs rewrite via packed_conv
+            b_cv1 = jnp.tile(b_cv1, self.pack)
+            b_cv2 = jnp.tile(b_cv2, self.pack)
+            bots = [
+                ((w1, jnp.tile(b1, self.pack)), (w2, jnp.tile(b2, self.pack)))
+                for (w1, b1), (w2, b2) in bots
+            ]
+        elif self.nchw:
+            b_cv1 = b_cv1[:, None, None]
+            b_cv2 = b_cv2[:, None, None]
+            bots = [((w1, b1[:, None, None]), (w2, b2[:, None, None])) for (w1, b1), (w2, b2) in bots]
 
         def conv(t, w, p=0):
+            if self.pack > 1:
+                return packed_conv(t, w.astype(dt), 1, self.pack, self.pack)
             return jax.lax.conv_general_dilated(
                 t, w.astype(dt), (1, 1), [(p, p), (p, p)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                dimension_numbers=layout,
             )
 
         def pad_front(w):  # consume full y (2c ch), select the b half
@@ -1068,3 +1149,76 @@ class BNContrastiveHead(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, ())
         logit_scale = self.param("logit_scale", lambda k, s: jnp.full(s, -1.0), ())
         return jnp.einsum("bhwc,bmc->bhwm", x, w) * jnp.exp(logit_scale) + bias
+
+
+# ---------------------------------------------------------------------------
+# Width-packed serving layout (deploy path)
+#
+# TPU tiles put the channel dim on the 128-wide lane axis, so the stem's
+# C=16/32/64 activations waste 8x/4x/2x of every HBM access. The deploy
+# graph therefore packs P = 128/C horizontally-adjacent pixels into one
+# 128-channel "packed pixel": activations become (B, H, W/P, P*C) — dense
+# lanes — and every conv is rewritten as an exactly-equivalent conv over the
+# packed layout with a block-scattered kernel. Profiled on v10n b32: the
+# sub-128-channel region costs ~8 ms of the 17 ms step unpacked.
+# ---------------------------------------------------------------------------
+
+
+def pack_width(x, P: int):
+    """(B, H, W, C) -> (B, H, W/P, P*C). Row-major contiguous: free reshape."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // P, P * c)
+
+
+def unpack_width(x, P: int):
+    """(B, H, W/P, P*C) -> (B, H, W, C)."""
+    b, h, wp, pc = x.shape
+    return x.reshape(b, h, wp * P, pc // P)
+
+
+def pack_conv_kernel(w, P_in: int, P_out: int, s: int):
+    """Rewrite an HWIO kernel for width-packed operands.
+
+    Returns (Wp, sp, (padL, padR)) such that
+      conv(x_packed, Wp, stride=(s, sp), pad_w=(padL, padR))
+        == pack(conv(unpack(x_packed), w, stride=(s, s), pad='same'), P_out)
+    Requires s * P_out % P_in == 0 (all v10n prefix cases). The scatter runs
+    at trace time over <=3*P_out small kernel blocks.
+    """
+    kh, kw, cin, cout = w.shape
+    half = kw // 2
+    assert (s * P_out) % P_in == 0, (s, P_in, P_out)
+    sp = (s * P_out) // P_in
+    cols = sorted({(s * j + d) // P_in for j in range(P_out) for d in range(-half, half + 1)})
+    c0, kwp = cols[0], cols[-1] - cols[0] + 1
+    Wp = jnp.zeros((kh, kwp, P_in * cin, P_out * cout), w.dtype)
+    for j in range(P_out):
+        for d in range(-half, half + 1):
+            t = s * j + d
+            col = t // P_in - c0
+            sub = t % P_in
+            Wp = Wp.at[:, col, sub * cin:(sub + 1) * cin, j * cout:(j + 1) * cout].add(w[:, d + half])
+    padL = -c0 * 1
+    # output packed width must equal input packed width / sp exactly:
+    # Wpo = (Wip + padL + padR - kwp)/sp + 1 with Wpo = Wip*P_in/(s*P_out)
+    padR = None  # resolved at call site from the actual input width
+    return Wp, sp, padL, kwp
+
+
+def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):
+    """Exact width-packed conv: x (B, H, W/P_in, P_in*Cin) HWIO kernel w."""
+    kh = w.shape[0]
+    ph = kh // 2
+    Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s)
+    wip = x.shape[2]
+    wpo = wip * P_in // (s * P_out)
+    padR = sp * (wpo - 1) + kwp - wip - padL
+    y = jax.lax.conv_general_dilated(
+        x, Wp, (s, sp), [(ph, ph), (padL, max(padR, 0))],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, P_out)
+    if act is not None:
+        y = apply_act(y, act)
+    return y

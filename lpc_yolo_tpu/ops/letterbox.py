@@ -79,3 +79,24 @@ def device_preprocess(imgs_u8: jnp.ndarray, bgr: bool = False) -> jnp.ndarray:
     if bgr:
         x = x[..., ::-1]
     return x
+
+
+def device_preprocess_nchw(imgs_u8: jnp.ndarray, bgr: bool = False) -> jnp.ndarray:
+    """uint8 NCHW -> fp32 NCHW in [0,1]."""
+    x = imgs_u8.astype(jnp.float32) / 255.0
+    if bgr:
+        x = x[:, ::-1]
+    return x
+
+
+def device_preprocess_wpack(imgs_u8: jnp.ndarray, bgr: bool = False) -> jnp.ndarray:
+    """uint8 width-packed (B, H, W/8, 8*3) -> fp32 same shape in [0,1].
+
+    The packed feed is byte-identical to NHWC (free host reshape) but lands
+    on dense 128-lane TPU tiles; the stem then runs width-packed
+    (compiler._wpack_prefix). BGR->RGB flips within each packed pixel."""
+    x = imgs_u8.astype(jnp.float32) / 255.0
+    if bgr:
+        b, h, wp, pc = x.shape
+        x = x.reshape(b, h, wp, pc // 3, 3)[..., ::-1].reshape(b, h, wp, pc)
+    return x

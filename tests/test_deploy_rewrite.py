@@ -57,3 +57,19 @@ def test_deploy_with_fused_variables(pair):
     a = plain.apply(variables, x, training=False, predict_only=True)["det"]
     b = dep.apply(vf, x, training=False, predict_only=True)["det"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_deploy_wpack_prefix_parity(pair):
+    """Width-packed deploy predict (dense-lane stem) matches plain NHWC.
+
+    The WPACK feed is byte-identical to NHWC — (B, H, W/8, 8*3) is the same
+    row-major buffer — and the packed convs are exact kernel rewrites
+    (modules.packed_conv), so outputs must agree to float tolerance."""
+    plain, dep, variables = pair
+    x = np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+    a = plain.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    b = dep.apply(
+        variables, jnp.asarray(x.reshape(2, 64, 8, 24)),
+        training=False, predict_only=True, input_layout="WPACK",
+    )["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
