@@ -122,30 +122,43 @@ class Results:
         font_scale: float = 0.5,
         conf: bool = True,
         labels: bool = True,
+        boxes: bool = True,
+        masks: bool = True,
+        kpt_line: bool = True,
         img: Optional[np.ndarray] = None,
     ) -> np.ndarray:
-        """Draw boxes onto (a copy of) the original image; returns BGR ndarray."""
-        import cv2
+        """Render detections (boxes, masks, keypoints, classification top-5)
+        onto a copy of the original image; returns BGR ndarray. Reference
+        Results.plot semantics (engine/results.py:280-360) via Annotator."""
+        from ..utils.plotting import Annotator, colors
 
         im = (img if img is not None else self.orig_img).copy()
-        lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
-        if self.boxes is not None:
+        ann = Annotator(im, line_width=line_width)
+        if masks and self.masks is not None and len(self.masks):
+            cls_ids = (
+                [int(c) for c in self.boxes.data[:, -1]] if self.boxes is not None else range(len(self.masks))
+            )
+            ann.masks(np.asarray(self.masks), [colors(c, bgr=True) for c in cls_ids])
+        if boxes and self.boxes is not None:
             ids = self.boxes.id
             for i, row in enumerate(self.boxes.data):
-                x1, y1, x2, y2 = row[:4]
                 cf, c = row[-2], row[-1]
-                color = _class_color(int(c))
-                cv2.rectangle(im, (int(x1), int(y1)), (int(x2), int(y2)), color, lw)
-                if labels:
-                    name = self.names.get(int(c), str(int(c)))
-                    if ids is not None:
-                        name = f"id:{int(ids[i])} {name}"
-                    txt = f"{name} {cf:.2f}" if conf else name
-                    cv2.putText(
-                        im, txt, (int(x1), max(int(y1) - 4, 12)),
-                        cv2.FONT_HERSHEY_SIMPLEX, font_scale, color, max(lw - 1, 1), cv2.LINE_AA,
-                    )
-        return im
+                color = colors(int(c), bgr=True)
+                name = self.names.get(int(c), str(int(c)))
+                if ids is not None:
+                    name = f"id:{int(ids[i])} {name}"
+                txt = (f"{name} {cf:.2f}" if conf else name) if labels else ""
+                rotated = row.shape[0] >= 10  # xyxyxyxy + conf + cls
+                ann.box_label(row[:8] if rotated else row[:4], txt, color=color, rotated=rotated)
+        if self.keypoints is not None:
+            for k in np.asarray(self.keypoints):
+                ann.kpts(k, kpt_line=kpt_line)
+        if self.probs is not None:
+            top5 = np.argsort(-np.asarray(self.probs))[:5]
+            text = "\n".join(f"{self.names.get(int(j), j)} {float(self.probs[j]):.2f}" for j in top5)
+            for li, line in enumerate(text.split("\n")):
+                ann.text((6, 28 + 22 * li), line)
+        return ann.result()
 
     def save(self, filename: str) -> str:
         import cv2
@@ -194,9 +207,3 @@ class Results:
 
     def numpy(self):
         return self
-
-
-def _class_color(c: int) -> Tuple[int, int, int]:
-    """Deterministic per-class BGR color."""
-    rng = np.random.RandomState(c + 3)
-    return tuple(int(v) for v in rng.randint(64, 255, 3))

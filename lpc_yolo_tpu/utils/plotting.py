@@ -135,3 +135,138 @@ def plot_images(
         canvas[r * h : (r + 1) * h, c * w : (c + 1) * w] = tile
     cv2.imwrite(out_path, canvas)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Annotator (reference plotting.py:20-335: Colors palette, box_label, masks
+# alpha compositing, COCO-skeleton kpts, rotated-box polygons)
+# ---------------------------------------------------------------------------
+
+
+class Colors:
+    """Ultralytics color palette (reference plotting.py:20-97); call with a
+    class index -> BGR (bgr=True) or RGB tuple."""
+
+    HEXS = (
+        "FF3838", "FF9D97", "FF701F", "FFB21D", "CFD231", "48F90A", "92CC17",
+        "3DDB86", "1A9334", "00D4BB", "2C99A8", "00C2FF", "344593", "6473FF",
+        "0018EC", "8438FF", "520085", "CB38FF", "FF95C8", "FF37C7",
+    )
+    POSE = np.array(
+        [
+            [255, 128, 0], [255, 153, 51], [255, 178, 102], [230, 230, 0],
+            [255, 153, 255], [153, 204, 255], [255, 102, 255], [255, 51, 255],
+            [102, 178, 255], [51, 153, 255], [255, 153, 153], [255, 102, 102],
+            [255, 51, 51], [153, 255, 153], [102, 255, 102], [51, 255, 51],
+            [0, 255, 0], [0, 0, 255], [255, 0, 0], [255, 255, 255],
+        ],
+        dtype=np.uint8,
+    )
+
+    def __init__(self):
+        self.palette = [tuple(int(h[i:i + 2], 16) for i in (0, 2, 4)) for h in self.HEXS]
+        self.n = len(self.palette)
+
+    def __call__(self, i: int, bgr: bool = False):
+        c = self.palette[int(i) % self.n]
+        return (c[2], c[1], c[0]) if bgr else c
+
+
+colors = Colors()
+
+# COCO 17-keypoint skeleton (reference plotting.py:137-158)
+SKELETON = [
+    [16, 14], [14, 12], [17, 15], [15, 13], [12, 13], [6, 12], [7, 13],
+    [6, 7], [6, 8], [7, 9], [8, 10], [9, 11], [2, 3], [1, 2], [1, 3],
+    [2, 4], [3, 5], [4, 6], [5, 7],
+]
+LIMB_COLOR_IDX = [9, 9, 9, 9, 7, 7, 7, 0, 0, 0, 0, 0, 16, 16, 16, 16, 16, 16, 16]
+KPT_COLOR_IDX = [16, 16, 16, 16, 16, 0, 0, 0, 0, 0, 0, 9, 9, 9, 9, 9, 9]
+
+
+class Annotator:
+    """cv2-based annotator: boxes, labels with filled background, rotated
+    polygons, alpha-composited masks, pose keypoints with skeleton."""
+
+    def __init__(self, im: np.ndarray, line_width: Optional[int] = None):
+        self.im = im if im.flags.writeable else im.copy()
+        self.lw = line_width or max(round(sum(im.shape) / 2 * 0.003), 2)
+        self.tf = max(self.lw - 1, 1)  # text thickness
+        self.sf = self.lw / 3  # text scale
+
+    def box_label(self, box, label: str = "", color=(128, 128, 128), txt_color=(255, 255, 255), rotated: bool = False):
+        """One xyxy box (or 4x2 polygon if rotated) + filled-background label."""
+        import cv2
+
+        if rotated:
+            pts = np.asarray(box, dtype=int).reshape(-1, 2)
+            cv2.polylines(self.im, [pts], True, color, self.lw)
+            p1 = tuple(pts[0])
+        else:
+            p1, p2 = (int(box[0]), int(box[1])), (int(box[2]), int(box[3]))
+            cv2.rectangle(self.im, p1, p2, color, thickness=self.lw, lineType=cv2.LINE_AA)
+        if label:
+            w, h = cv2.getTextSize(label, 0, fontScale=self.sf, thickness=self.tf)[0]
+            outside = p1[1] - h >= 3
+            p2 = p1[0] + w, p1[1] - h - 3 if outside else p1[1] + h + 3
+            cv2.rectangle(self.im, p1, p2, color, -1, cv2.LINE_AA)
+            cv2.putText(
+                self.im, label, (p1[0], p1[1] - 2 if outside else p1[1] + h + 2),
+                0, self.sf, txt_color, thickness=self.tf, lineType=cv2.LINE_AA,
+            )
+
+    def masks(self, masks: np.ndarray, mask_colors, alpha: float = 0.5):
+        """Alpha-composite (n, h, w) masks over the image — the reference's
+        cumprod blend (plotting.py:207-241) in numpy. Masks are resized to
+        the image if given at proto resolution."""
+        import cv2
+
+        if len(masks) == 0:
+            return
+        h, w = self.im.shape[:2]
+        m = np.stack(
+            [cv2.resize(mk.astype(np.float32), (w, h), interpolation=cv2.INTER_LINEAR) for mk in masks]
+        )
+        m = (m > 0.5).astype(np.float32)[..., None]  # (n, h, w, 1)
+        cols = np.asarray(mask_colors, np.float32)[:, None, None] / 255.0  # (n,1,1,3)
+        masks_color = m * (cols * alpha)
+        inv_alpha = np.cumprod(1 - m * alpha, axis=0)
+        mcs = masks_color.max(axis=0)
+        im01 = self.im.astype(np.float32) / 255.0
+        out = im01 * inv_alpha[-1] + mcs
+        self.im[:] = (out * 255).astype(np.uint8)
+
+    def kpts(self, kpts: np.ndarray, radius: int = 5, kpt_line: bool = True, conf_thres: float = 0.5):
+        """Pose keypoints (K, 2|3) with the COCO skeleton when K == 17."""
+        import cv2
+
+        nkpt, ndim = kpts.shape
+        is_pose = nkpt == 17 and ndim in (2, 3)
+        kpt_line &= is_pose
+        h, w = self.im.shape[:2]
+        for i, k in enumerate(kpts):
+            if ndim == 3 and k[2] < conf_thres:
+                continue
+            x, y = int(k[0]), int(k[1])
+            if 0 < x < w and 0 < y < h:
+                ck = tuple(int(v) for v in Colors.POSE[KPT_COLOR_IDX[i]]) if is_pose else colors(i)
+                cv2.circle(self.im, (x, y), radius, ck, -1, lineType=cv2.LINE_AA)
+        if kpt_line:
+            for i, (a, b) in enumerate(SKELETON):
+                ka, kb = kpts[a - 1], kpts[b - 1]
+                if ndim == 3 and (ka[2] < conf_thres or kb[2] < conf_thres):
+                    continue
+                p1, p2 = (int(ka[0]), int(ka[1])), (int(kb[0]), int(kb[1]))
+                if not (0 < p1[0] < w and 0 < p1[1] < h and 0 < p2[0] < w and 0 < p2[1] < h):
+                    continue
+                cl = tuple(int(v) for v in Colors.POSE[LIMB_COLOR_IDX[i]])
+                cv2.line(self.im, p1, p2, cl, thickness=2, lineType=cv2.LINE_AA)
+
+    def text(self, xy, label: str, txt_color=(255, 255, 255)):
+        import cv2
+
+        cv2.putText(self.im, label, (int(xy[0]), int(xy[1])), 0, self.sf, txt_color,
+                    thickness=self.tf, lineType=cv2.LINE_AA)
+
+    def result(self) -> np.ndarray:
+        return self.im

@@ -212,3 +212,49 @@ def test_run_ray_tune_offline_fallback():
     assert len(short) == 4 and len(full) == 2  # halving kept the top half
     lr0s = [h["lr0"] for _, h in short]
     assert abs(out["best_fitness"] - max(lr0s)) < 1e-12
+
+
+def test_annotator_masks_kpts_rotated():
+    """Annotator renders masks (alpha composite), pose keypoints with the
+    COCO skeleton, and rotated polygons (reference plotting.py:99-335)."""
+    import numpy as np
+
+    from lpc_yolo_tpu.utils.plotting import Annotator, colors
+
+    im = np.zeros((96, 96, 3), np.uint8)
+    ann = Annotator(im)
+    mask = np.zeros((48, 48), np.float32)
+    mask[8:20, 8:20] = 1.0
+    ann.masks(np.stack([mask]), [colors(0, bgr=True)])
+    assert ann.im[24, 24].sum() > 0  # blended color where the mask is
+    assert ann.im[90, 90].sum() == 0  # untouched elsewhere
+
+    kpts = np.zeros((17, 3), np.float32)
+    kpts[:, 0] = np.linspace(10, 80, 17)
+    kpts[:, 1] = np.linspace(10, 80, 17)
+    kpts[:, 2] = 1.0
+    ann.kpts(kpts)
+
+    ann.box_label(np.array([10, 10, 30, 10, 30, 30, 10, 30]), "obb 0.9",
+                  color=colors(1, bgr=True), rotated=True)
+    ann.box_label([40, 40, 70, 70], "box 0.8", color=colors(2, bgr=True))
+    out = ann.result()
+    assert out.shape == (96, 96, 3) and out.dtype == np.uint8
+
+
+def test_results_plot_with_masks_and_kpts():
+    import numpy as np
+
+    from lpc_yolo_tpu.engine.results import Results
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    boxes = np.array([[5, 5, 30, 30, 0.9, 0]], np.float32)
+    mask = np.zeros((1, 32, 32), np.float32)
+    mask[0, 4:12, 4:12] = 1.0
+    kpts = np.zeros((1, 17, 3), np.float32)
+    kpts[0, :, 0] = 16
+    kpts[0, :, 1] = np.linspace(6, 28, 17)
+    kpts[0, :, 2] = 1.0
+    r = Results(img, "x.jpg", {0: "person"}, boxes=boxes, masks=mask, keypoints=kpts)
+    out = r.plot()
+    assert out.shape == img.shape and out.sum() > 0
