@@ -40,16 +40,14 @@ def test_checks():
 
 
 def test_hub_session():
-    from lpc_yolo_tpu.hub import Auth, HUBTrainingSession, login
+    """Offline-default session queues locally; full HTTP transport behavior
+    is covered against a loopback server in tests/test_hub.py."""
+    from lpc_yolo_tpu.hub import HUBTrainingSession, login
 
     assert not login().authenticated and login("k").authenticated
-    sent = []
-    s = HUBTrainingSession("m1", Auth("k"), transport=lambda kind, payload: sent.append((kind, payload)))
-    s.upload_metrics(0, {"fitness": 0.5})
-    s.upload_model(0, "w.ckpt", is_best=True)
-    assert sent[0][0] == "metrics" and sent[1][0] == "model"
-    assert not s.metrics_queue  # drained after successful send
-
-    s2 = HUBTrainingSession("m2")  # no transport: queues persist
-    s2.upload_metrics(1, {"fitness": 0.1})
-    assert 1 in s2.metrics_queue
+    s = HUBTrainingSession("m2")  # zero-egress default: offline, queues persist
+    assert s.offline
+    s.upload_metrics(1, {"fitness": 0.1})
+    assert 1 in s.metrics_queue
+    s.upload_model(1, "w.ckpt", is_best=True)
+    assert s.uploaded[0]["best"] is True
