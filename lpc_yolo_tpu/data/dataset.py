@@ -71,6 +71,7 @@ class YOLODataset:
         names: Optional[Dict[int, str]] = None,
         kpt_shape: Optional[Tuple[int, int]] = None,
         obb: bool = False,
+        cache_images: Union[bool, str] = False,
     ):
         self.img_path = str(img_path)
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
@@ -82,6 +83,13 @@ class YOLODataset:
         self.im_files = self._scan_images()
         self.label_files = [img2label_path(f) for f in self.im_files]
         self.labels = self._load_labels(cache)
+        # image cache: 'ram' keeps decoded BGR arrays in memory; 'disk'
+        # persists decoded .npy beside each image (reference base.py
+        # cache_images / cache_images_to_disk)
+        self.cache_images = "ram" if cache_images is True else (cache_images or None)
+        self._ram: List[Optional[np.ndarray]] = [None] * len(self.im_files)
+        if self.cache_images == "disk":
+            self._npy_files = [Path(f).with_suffix(".npy") for f in self.im_files]
 
     def _scan_images(self) -> List[str]:
         p = Path(self.img_path)
@@ -187,9 +195,17 @@ class YOLODataset:
     def load_image(self, i: int) -> np.ndarray:
         import cv2
 
+        if self.cache_images == "ram" and self._ram[i] is not None:
+            return self._ram[i]
+        if self.cache_images == "disk" and self._npy_files[i].exists():
+            return np.load(self._npy_files[i])
         im = cv2.imread(self.im_files[i])
         if im is None:
             raise FileNotFoundError(self.im_files[i])
+        if self.cache_images == "ram":
+            self._ram[i] = im
+        elif self.cache_images == "disk":
+            np.save(self._npy_files[i], im)
         return im
 
     def get_item_raw(self, i: int) -> Dict:

@@ -77,8 +77,10 @@ class Trainer:
         seed: int = 0,
         resume: bool = False,
         hyp: Optional[Dict] = None,
+        cache: Any = False,  # False | 'ram' | 'disk' image cache (default.yaml 'cache')
         **_: Any,
     ):
+        self.cache = cache
         self.yolo = yolo
         self.data = data
         self.epochs = epochs
@@ -124,7 +126,7 @@ class Trainer:
         kpt_shape = info.get("kpt_shape")
         dataset = YOLODataset(
             info["train"], imgsz=self.imgsz, augment=True, names=info["names"],
-            kpt_shape=kpt_shape, obb=(task == "obb"),
+            kpt_shape=kpt_shape, obb=(task == "obb"), cache_images=self.cache,
         )
         if task == "segment":
             transforms = SegTrainTransforms(self.imgsz, self.hyp, self.max_gt)
