@@ -170,7 +170,7 @@ class SeBlock(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         y = _gap(x)
-        y = nn.Conv(self.c1 // self.reduction, (1, 1), dtype=self.dtype, name="fc1")(y)
+        y = nn.Conv(max(1, self.c1 // self.reduction), (1, 1), dtype=self.dtype, name="fc1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.c1, (1, 1), dtype=self.dtype, name="fc2")(y)
         return x * nn.sigmoid(y)
@@ -186,7 +186,7 @@ class SE(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         y = jnp.mean(x, axis=(1, 2))
-        y = nn.Dense(self.c1 // self.ratio, use_bias=False, dtype=self.dtype, name="l1")(y)
+        y = nn.Dense(max(1, self.c1 // self.ratio), use_bias=False, dtype=self.dtype, name="l1")(y)
         y = nn.relu(y)
         y = nn.Dense(self.c1, use_bias=False, dtype=self.dtype, name="l2")(y)
         y = nn.sigmoid(y)
@@ -411,7 +411,7 @@ class GAMAttention(nn.Module):
     def __call__(self, x, training: bool = False):
         c1, c2, rate = self.c1, self.c2, self.rate
         # channel attention: MLP over the channel vector at each position
-        a = nn.Dense(c1 // rate, dtype=self.dtype, name="ca_fc1")(x)
+        a = nn.Dense(max(1, c1 // rate), dtype=self.dtype, name="ca_fc1")(x)
         a = nn.relu(a)
         a = nn.Dense(c1, dtype=self.dtype, name="ca_fc2")(a)
         x = x * a
@@ -1887,7 +1887,7 @@ class _ChannelGate(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        f1 = nn.Conv(self.c1 // self.ratio, (1, 1), use_bias=False,
+        f1 = nn.Conv(max(1, self.c1 // self.ratio), (1, 1), use_bias=False,
                      kernel_init=kaiming_uniform(), dtype=self.dtype, name="f1")
         f2 = nn.Conv(self.c1, (1, 1), use_bias=False,
                      kernel_init=kaiming_uniform(), dtype=self.dtype, name="f2")

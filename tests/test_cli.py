@@ -2,6 +2,7 @@
 in-process for speed; one subprocess test guards the real `python -m` path).
 """
 
+import os
 import subprocess
 import sys
 
@@ -58,9 +59,12 @@ def test_entrypoint_task_default_models():
 
 
 def test_module_invocation_subprocess():
+    # pin the subprocess to CPU: it doesn't load conftest, and grabbing the
+    # (possibly busy) real TPU makes this test minutes-slow and flaky
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
     out = subprocess.run(
         [sys.executable, "-m", "lpc_yolo_tpu", "version"],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=env,
     )
     assert out.returncode == 0
     assert out.stdout.strip()
