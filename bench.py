@@ -39,7 +39,7 @@ BASELINE_IMG_PER_S = 1010.0  # YOLOv8n on A100 TensorRT (docs/en/models/yolov8.m
 
 def main():
     from lpc_yolo_tpu.nn import build_model
-    from lpc_yolo_tpu.nn.fuse import fuse_conv_bn
+    from lpc_yolo_tpu.nn.fuse import fold_preprocess, fuse_conv_bn
 
     batch, imgsz, iters = 32, 640, 16
     model = build_model(
@@ -53,8 +53,11 @@ def main():
     def forward(variables, img_u8):
         # width-packed uint8 feed: (B, H, W/8, 8*3) is the same bytes as NHWC
         # (free host reshape) but the stem then runs on dense 128-lane tiles
-        # (compiler._wpack_prefix), unpacking once at C>=128
-        x = img_u8.astype(jnp.bfloat16) * jnp.bfloat16(1.0 / 255.0)  # on-device preprocess
+        # (compiler._wpack_prefix), unpacking once at C>=128. The /255
+        # normalize is folded into the first conv kernel (fuse.fold_preprocess)
+        # so the image-side preprocess is a bare uint8->bf16 convert.
+        variables = fold_preprocess(variables)
+        x = img_u8.astype(jnp.bfloat16)
         return model.apply(variables, x, training=False, predict_only=True, input_layout="WPACK")["det"]
 
     @jax.jit

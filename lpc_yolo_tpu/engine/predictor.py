@@ -117,7 +117,16 @@ class Predictor:
     def _predict_fn(self, variables, imgs_u8):
         # width-packed uint8 feed (byte-identical to NHWC): the low-channel
         # stem runs on dense 128-lane tiles (compiler._wpack_prefix)
-        x = device_preprocess_wpack(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
+        if getattr(self.model, "specs", None) and self.model.specs[0].module == "Conv":
+            # /255 + BGR->RGB fold into the first conv kernel (fuse.py):
+            # the image-side chain is a bare uint8->bf16 convert, removing
+            # the normalize fusion's ~1 ms layout copy (profiled)
+            from ..nn.fuse import fold_preprocess
+
+            variables = fold_preprocess(variables, bgr=True)
+            x = imgs_u8.astype(getattr(self.model, "dtype", jnp.float32))
+        else:
+            x = device_preprocess_wpack(imgs_u8, bgr=True)  # BGR->RGB + /255 on device
         if self.task == "world":
             txt = jnp.broadcast_to(self.text, (x.shape[0],) + self.text.shape[1:])
             out = self.model.apply(

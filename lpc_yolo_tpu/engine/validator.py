@@ -79,7 +79,13 @@ class Validator:
 
         @jax.jit
         def predict(variables, imgs_u8):
-            x = device_preprocess_wpack(imgs_u8, bgr=True)
+            if getattr(model, "specs", None) and model.specs[0].module == "Conv":
+                from ..nn.fuse import fold_preprocess
+
+                variables = fold_preprocess(variables, bgr=True)
+                x = imgs_u8.astype(getattr(model, "dtype", jnp.float32))
+            else:
+                x = device_preprocess_wpack(imgs_u8, bgr=True)
             out = model.apply(variables, x, training=False, predict_only=True, input_layout="WPACK")
             if task == "v10":
                 return out["det"]

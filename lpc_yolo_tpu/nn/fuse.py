@@ -63,3 +63,30 @@ def fuse_conv_bn(variables: Dict[str, Any]) -> Dict[str, Any]:
     if stats:
         out["batch_stats"] = fs
     return out
+
+
+def fold_preprocess(variables, scale: float = 1.0 / 255.0, bgr: bool = False):
+    """Fold input normalization (x*scale) and optional BGR->RGB flip into the
+    FIRST conv's kernel: conv(x*s, W) == conv(x, W*s) and the channel flip is
+    a kernel input-channel permutation. Callers then feed raw uint8-as-float
+    frames with no elementwise preprocess — removing the normalize fusion and
+    its ~1 ms layout copy from the serving step (profiled, v10n b32).
+
+    Only valid when layer model_0 is a Conv consuming the raw image; callers
+    gate on `model.specs[0].module == "Conv"`. Returns new variables; the
+    input tree is unchanged.
+    """
+    import jax
+
+    params = dict(variables["params"])
+    m0 = {k: v for k, v in params["model_0"].items()}
+    conv = dict(m0["conv"])
+    k = conv["kernel"]
+    if bgr:
+        k = k[:, :, ::-1, :]
+    conv["kernel"] = k * scale
+    m0["conv"] = conv
+    params["model_0"] = m0
+    out = dict(variables)
+    out["params"] = params
+    return out
