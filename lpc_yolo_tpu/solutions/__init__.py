@@ -10,6 +10,7 @@ from .ai_gym import AIGym
 from .distance_calculation import DistanceCalculation
 from .heatmap import Heatmap
 from .object_counter import ObjectCounter
+from .sliced_inference import sliced_predict, slice_grid
 from .speed_estimator import SpeedEstimator
 
-__all__ = ["AIGym", "DistanceCalculation", "Heatmap", "ObjectCounter", "SpeedEstimator"]
+__all__ = ["AIGym", "DistanceCalculation", "Heatmap", "ObjectCounter", "SpeedEstimator", "sliced_predict", "slice_grid"]

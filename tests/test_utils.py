@@ -258,3 +258,81 @@ def test_results_plot_with_masks_and_kpts():
     r = Results(img, "x.jpg", {0: "person"}, boxes=boxes, masks=mask, keypoints=kpts)
     out = r.plot()
     assert out.shape == img.shape and out.sum() > 0
+
+
+def test_hub_dataset_stats(tmp_path):
+    """HUBDatasetStats: per-split instance/image stats + rounded labels +
+    compressed previews (reference data/utils.py:424-585)."""
+    import json
+
+    import cv2
+    import numpy as np
+    import yaml
+
+    from lpc_yolo_tpu.data import HUBDatasetStats
+
+    root = tmp_path / "ds"
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "labels" / "val").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        cv2.imwrite(str(root / "images" / "val" / f"{i}.jpg"),
+                    (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+        lines = [f"{i % 2} 0.5 0.5 0.25 0.25"] if i < 2 else []
+        (root / "labels" / "val" / f"{i}.txt").write_text("\n".join(lines) + "\n")
+    yml = root / "data.yaml"
+    yml.write_text(yaml.safe_dump({"path": str(root), "val": "images/val", "nc": 2,
+                                   "names": {0: "a", 1: "b"}}))
+    st = HUBDatasetStats(str(yml))
+    out = st.get_json(save=True)
+    assert out["nc"] == 2 and out["names"] == ["a", "b"]
+    v = out["val"]
+    assert v["instance_stats"]["total"] == 2
+    assert v["instance_stats"]["per_class"] == [1, 1]
+    assert v["image_stats"]["total"] == 3 and v["image_stats"]["unlabelled"] == 1
+    assert any("0.jpg" in d for d in v["labels"])
+    saved = json.loads((st.hub_dir / "stats.json").read_text())
+    assert saved["nc"] == 2
+    st.process_images()
+    assert (st.im_dir / "0.jpg").exists()
+
+
+def test_sliced_inference_grid_and_merge():
+    """slice_grid covers the frame; sliced_predict merges tile detections."""
+    import numpy as np
+
+    from lpc_yolo_tpu.solutions import slice_grid, sliced_predict
+    from lpc_yolo_tpu.solutions.sliced_inference import _nms_classwise
+
+    g = slice_grid(100, 160, 64, 0.25)
+    assert (0, 0) in g
+    ys = {y for y, _ in g}
+    xs = {x for _, x in g}
+    assert max(ys) + 64 >= 100 and max(xs) + 64 >= 160  # full coverage
+
+    # duplicate boxes from overlapping tiles dedupe to one per class
+    dets = np.array([
+        [10, 10, 30, 30, 0.9, 1],
+        [11, 11, 31, 31, 0.8, 1],   # duplicate (same class, IoU > .45)
+        [10, 10, 30, 30, 0.7, 2],   # different class survives
+    ], np.float32)
+    keep = _nms_classwise(dets, 0.45)
+    assert sorted(dets[keep][:, 5].tolist()) == [1.0, 2.0]
+
+    class _FakeResults:
+        def __init__(self, data):
+            import types
+            self.boxes = types.SimpleNamespace(data=data)
+
+    class _FakeYOLO:
+        def predict(self, tiles, **kw):
+            out = []
+            for t in tiles:
+                # one box in the tile's top-left corner
+                out.append(_FakeResults(np.array([[2, 2, 12, 12, 0.9, 0]], np.float32)))
+            return out
+
+    img = np.zeros((100, 160, 3), np.uint8)
+    dets = sliced_predict(_FakeYOLO(), img, tile=64, overlap=0.25)
+    assert dets.shape[1] == 6 and len(dets) >= 1
+    assert np.isfinite(dets).all()
