@@ -256,23 +256,36 @@ def _wpack_prefix(specs: Tuple[LayerSpec, ...]) -> Tuple[int, Tuple[int, ...]]:
     n, packs = 0, []
     p_in = 8  # input fed as (B, H, W/8, 8*3)
     for spec in specs:
-        if spec.module not in ("Conv", "C2f"):
-            break
-        if any(f != -1 for f in spec.f):
-            break
-        c2 = spec.c2
-        if not isinstance(c2, int) or c2 > 64 or 128 % c2:
-            break
-        s = spec.args[3] if spec.module == "Conv" and len(spec.args) > 3 else 1
-        p_out = 128 // c2
-        if (s * p_out) % p_in:  # packed stride must be integral
-            break
-        if spec.module == "C2f" and p_out != p_in:  # C2f packs uniformly
+        p_out = _wpack_out(spec, p_in)
+        if not p_out:
             break
         n += 1
         packs.append(p_out)
         p_in = p_out
     return n, tuple(packs)
+
+
+def _wpack_out(spec: LayerSpec, p_in: int) -> int:
+    """Output pack factor for a layer given its input pack; 0 = run unpacked.
+
+    Conv: any k/s with integral packed stride (s*P_out % P_in == 0; always
+    satisfiable from an unpacked input, P_in=1). C2f: uniform pack, or
+    pack-on-entry through cv1 when the input is unpacked.
+    """
+    if spec.module not in ("Conv", "C2f") or len(spec.f) != 1:
+        return 0
+    c2 = spec.c2
+    if not isinstance(c2, int) or c2 > 64 or 128 % c2:
+        return 0
+    p_out = 128 // c2
+    if spec.module == "Conv":
+        s = spec.args[3] if len(spec.args) > 3 else 1
+        if (s * p_out) % p_in:
+            return 0
+    else:  # C2f
+        if p_in not in (1, p_out):
+            return 0
+    return p_out
 
 
 def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
@@ -302,7 +315,8 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
     if m == "C2f":
         return M.C2f(
             a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False,
-            deploy=deploy, pack=pack_out, dtype=dtype, name=name,
+            deploy=deploy, pack=pack_out, pack_in=pack_in if pack_out > 1 else 1,
+            dtype=dtype, name=name,
         )
     if m == "C3":
         return M.C3(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
@@ -395,13 +409,11 @@ class DetectionModel(nn.Module):
         # unpack once at the end. NCHW callers are transposed to NHWC.
         if input_layout == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
-        wpack_n, wpacks = (
-            _wpack_prefix(self.specs)
-            if (self.deploy and not training and input_layout == "WPACK")
-            else (0, ())
-        )
-        if input_layout == "WPACK" and wpack_n == 0:
+        wpack_on = self.deploy and not training and input_layout == "WPACK"
+        cur_pack = 8 if input_layout == "WPACK" else 1  # raw feed comes x8
+        if input_layout == "WPACK" and not wpack_on:
             x = M.unpack_width(x, 8)
+            cur_pack = 1
         if text is None and any(
             s.module in ("C2fAttn", "WorldDetect", "ImagePoolingAttn") for s in self.specs
         ):
@@ -413,6 +425,18 @@ class DetectionModel(nn.Module):
         for spec in self.specs:
             name = f"model_{spec.i}"
             is_last = spec.i == self.specs[-1].i
+
+            # greedy width-pack plan (deploy serving path): any single-input
+            # Conv/C2f with C<=64 runs packed — including mid-graph neck
+            # blocks, which pack from an unpacked input via the P_in=1
+            # packed_conv case. y[] always stores unpacked copies, so inputs
+            # read through y arrive unpacked; only the running x carries pack.
+            p_in = cur_pack if (len(spec.f) == 1 and spec.f[0] == -1) else 1
+            p_out = _wpack_out(spec, p_in) if wpack_on else 0
+            if p_out == 0 and cur_pack > 1 and -1 in spec.f:
+                x = M.unpack_width(x, cur_pack)  # this layer needs NHWC x
+                cur_pack = 1
+                p_in = 1
 
             if spec.module == "ImagePoolingAttn":
                 # enhances the text features; x passes through untouched
@@ -554,36 +578,35 @@ class DetectionModel(nn.Module):
                 inp = [x if j == -1 else y[j] for j in spec.f]
             else:
                 inp = x if spec.f[0] == -1 else y[spec.f[0]]
-            in_prefix = spec.i < wpack_n
             if spec.module == "C2fAttn":
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, txt, training)
+                cur_pack = 1
             elif spec.n > 1 and spec.module in R.ALL_RESEARCH:
                 # reference stacks repeat-count copies in an nn.Sequential
                 # (tasks.py:1047); unrolled here with per-copy param scopes
                 x = inp
                 for rep in range(spec.n):
                     x = _build_module(spec, self.dtype, f"{name}_{rep}", deploy=self.deploy)(x, training)
-            elif in_prefix:
-                p_in = 8 if spec.i == 0 else wpacks[spec.i - 1]
+                cur_pack = 1
+            elif p_out:
                 module = _build_module(
                     spec, self.dtype, name, deploy=self.deploy,
-                    pack_in=p_in, pack_out=wpacks[spec.i],
+                    pack_in=p_in, pack_out=p_out,
                 )
                 x = module(inp, training)
-                if spec.i == wpack_n - 1:
-                    x = M.unpack_width(x, wpacks[spec.i])  # rest of graph is NHWC
-                    if spec.i in self.save:
-                        y[spec.i] = x
-                    continue
+                cur_pack = p_out
                 if spec.i in self.save:
-                    y[spec.i] = M.unpack_width(x, wpacks[spec.i])
+                    y[spec.i] = M.unpack_width(x, p_out)
                 continue
             else:
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, training)
+                cur_pack = 1
             if spec.i in self.save:
                 y[spec.i] = x
+        if cur_pack > 1:
+            x = M.unpack_width(x, cur_pack)
         return x  # headless graph (feature extractor)
 
 

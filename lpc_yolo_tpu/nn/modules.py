@@ -280,6 +280,7 @@ class C2f(nn.Module):
     deploy: bool = False
     nchw: bool = False  # deploy-path channels-first execution
     pack: int = 1  # deploy-path width-pack factor (128 // c2)
+    pack_in: int = 1  # input pack factor (1 = unpacked input; cv1 packs)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -306,7 +307,7 @@ class C2f(nn.Module):
         layout = ("NCHW", "HWIO", "NCHW") if self.nchw else ("NHWC", "HWIO", "NHWC")
         c1 = x.shape[1 if self.nchw else -1]
         if self.pack > 1:
-            c1 = c1 // self.pack
+            c1 = c1 // self.pack_in
         w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
         w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
         bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
@@ -324,9 +325,10 @@ class C2f(nn.Module):
             b_cv2 = b_cv2[:, None, None]
             bots = [((w1, b1[:, None, None]), (w2, b2[:, None, None])) for (w1, b1), (w2, b2) in bots]
 
-        def conv(t, w, p=0):
+        def conv(t, w, p=0, first=False):
             if self.pack > 1:
-                return packed_conv(t, w.astype(dt), 1, self.pack, self.pack)
+                p_in = self.pack_in if first else self.pack
+                return packed_conv(t, w.astype(dt), 1, p_in, self.pack)
             return jax.lax.conv_general_dilated(
                 t, w.astype(dt), (1, 1), [(p, p), (p, p)],
                 dimension_numbers=layout,
@@ -335,7 +337,7 @@ class C2f(nn.Module):
         def pad_front(w):  # consume full y (2c ch), select the b half
             return jnp.concatenate([jnp.zeros_like(w[:, :, :c]), w], axis=2)
 
-        y = mish(conv(x, w_cv1) + b_cv1.astype(dt))
+        y = mish(conv(x, w_cv1, first=True) + b_cv1.astype(dt))
         gs = []
         for k in range(self.n):
             (w1, b1), (w2, b2) = bots[k]
