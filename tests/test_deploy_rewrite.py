@@ -73,3 +73,50 @@ def test_deploy_wpack_prefix_parity(pair):
         training=False, predict_only=True, input_layout="WPACK",
     )["det"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "H,W,Ci,Co,k,s,Pi,Po",
+    [
+        (16, 64, 3, 16, 3, 2, 8, 8),    # stem conv1 (uint8 pack x8)
+        (16, 64, 16, 32, 3, 2, 8, 4),   # stride-2 channel-doubling: P halves
+        (16, 64, 32, 32, 1, 1, 4, 4),   # C2f 1x1
+        (16, 64, 16, 16, 3, 1, 4, 4),   # C2f bottleneck 3x3
+        (16, 64, 32, 64, 3, 2, 4, 2),
+        (16, 64, 64, 64, 3, 1, 2, 2),
+        (16, 64, 192, 64, 1, 1, 1, 2),  # pack-on-entry (neck C2f cv1)
+        (16, 64, 48, 16, 3, 1, 1, 8),   # pack-on-entry with k3
+    ],
+    ids=lambda v: str(v),
+)
+def test_packed_conv_exact(H, W, Ci, Co, k, s, Pi, Po):
+    """modules.packed_conv is an exact rewrite of a same-padded conv for
+    every (kernel, stride, pack) combination the serving graph uses."""
+    from lpc_yolo_tpu.nn.modules import pack_width, packed_conv, unpack_width
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, H, W, Ci), jnp.float32)
+    w = jnp.asarray(rng.rand(k, k, Ci, Co), jnp.float32)
+    p = k // 2
+    ref = jax.lax.conv_general_dilated(
+        x, w, (s, s), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = unpack_width(packed_conv(pack_width(x, Pi), w, s, Pi, Po), Po)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_packed_conv_bias_act():
+    """Packed bias tiles per subpixel block; activation applies elementwise."""
+    from lpc_yolo_tpu.nn.modules import pack_width, packed_conv, unpack_width
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 8, 32, 16), jnp.float32)
+    w = jnp.asarray(rng.rand(1, 1, 16, 16), jnp.float32)
+    b = jnp.asarray(rng.rand(16), jnp.float32)
+    ref = jax.nn.silu(
+        jax.lax.conv_general_dilated(x, w, (1, 1), [(0, 0), (0, 0)],
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    )
+    got = unpack_width(packed_conv(pack_width(x, 8), w, 1, 8, 8, b=b, act="silu"), 8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
