@@ -23,7 +23,9 @@ class Explorer:
         from .dataset import YOLODataset, check_det_dataset
 
         self.info = check_det_dataset(data)
-        self.dataset = YOLODataset(self.info.get("train") or self.info["val"], imgsz=imgsz)
+        self.dataset = YOLODataset(
+            self.info.get("train") or self.info["val"], imgsz=imgsz, names=self.info.get("names")
+        )
         self.imgsz = imgsz
         self.model_name = model
         self.embeddings: Optional[np.ndarray] = None
@@ -118,4 +120,104 @@ class Explorer:
             row = {"im_file": f, "cls": lab["cls"], "bboxes": lab["bboxes"]}
             if predicate(row):
                 rows.append(row)
+        return rows
+
+    def sql_query(self, query: str) -> List[Dict]:
+        """SQL-like query over the embeddings table (reference
+        explorer.py:173 sql_query, which pushes predicates into LanceDB via
+        duckdb — absent from this environment, so a small predicate compiler
+        evaluates the same grammar in-process).
+
+        Supported grammar (the patterns the reference documents):
+          SELECT * FROM 'table' [WHERE <cond>] [LIMIT n]
+          <cond> := <cond> AND <cond> | <cond> OR <cond> | ( <cond> )
+                  | labels LIKE '%name%' | <field> <op> <value>
+          <field>: labels (class-name list), n_labels, im_file
+          <op>: = != > >= < <=
+        """
+        import re
+
+        q = query.strip().rstrip(";")
+        m = re.match(r"(?is)^select\s+\*\s+from\s+'?table'?\s*(?:where\s+(.*?))?\s*(?:limit\s+(\d+))?$", q)
+        if not m:
+            raise ValueError(f"unsupported SQL (SELECT * FROM 'table' [WHERE ...] [LIMIT n]): {query}")
+        cond_src, limit = m.group(1), m.group(2)
+
+        names = {int(k): str(v) for k, v in (self.dataset.names or {}).items()}
+
+        def row_env(f, lab):
+            cls_ids = [int(c) for c in np.asarray(lab["cls"]).flatten()]
+            return {
+                "im_file": f,
+                "labels": [names.get(c, str(c)) for c in cls_ids],
+                "n_labels": len(cls_ids),
+                "cls": cls_ids,
+            }
+
+        def compile_cond(src):
+            # tokenize: parens, AND/OR, comparisons, LIKE
+            tokens = re.findall(r"\(|\)|'[^']*'|[^\s()]+", src)
+
+            def parse_or(pos):
+                node, pos = parse_and(pos)
+                while pos < len(tokens) and tokens[pos].upper() == "OR":
+                    rhs, pos = parse_and(pos + 1)
+                    node = (lambda l, r: lambda e: l(e) or r(e))(node, rhs)
+                return node, pos
+
+            def parse_and(pos):
+                node, pos = parse_atom(pos)
+                while pos < len(tokens) and tokens[pos].upper() == "AND":
+                    rhs, pos = parse_atom(pos + 1)
+                    node = (lambda l, r: lambda e: l(e) and r(e))(node, rhs)
+                return node, pos
+
+            def parse_atom(pos):
+                if tokens[pos] == "(":
+                    node, pos = parse_or(pos + 1)
+                    assert tokens[pos] == ")", "unbalanced parens"
+                    return node, pos + 1
+                field, op = tokens[pos], tokens[pos + 1].upper()
+                rhs = tokens[pos + 2]
+                val = rhs[1:-1] if rhs.startswith("'") else rhs
+                if op == "LIKE":
+                    pat = val.strip("%")
+
+                    def like(e, f=field, p=pat):
+                        v = e.get(f)
+                        if isinstance(v, list):
+                            return any(p in str(x) for x in v)
+                        return p in str(v)
+
+                    return like, pos + 3
+                import operator as _op
+
+                ops = {"=": _op.eq, "!=": _op.ne, ">": _op.gt, ">=": _op.ge,
+                       "<": _op.lt, "<=": _op.le}
+                assert op in ops, f"unsupported operator {op}"
+                fn = ops[op]
+
+                def cmp(e, f=field, fn=fn, v=val):
+                    lhs = e.get(f)
+                    if isinstance(lhs, list) and f == "cls":
+                        return any(fn(float(x), float(v)) for x in lhs)
+                    try:
+                        return fn(float(lhs), float(v))
+                    except (TypeError, ValueError):
+                        return fn(str(lhs), str(v))
+
+                return cmp, pos + 3
+
+            node, pos = parse_or(0)
+            assert pos == len(tokens), f"trailing tokens: {tokens[pos:]}"
+            return node
+
+        pred = compile_cond(cond_src) if cond_src else (lambda e: True)
+        rows = []
+        for f, lab in zip(self.dataset.im_files, self.dataset.labels):
+            env = row_env(f, lab)
+            if pred(env):
+                rows.append(env)
+                if limit and len(rows) >= int(limit):
+                    break
         return rows

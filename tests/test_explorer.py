@@ -51,3 +51,43 @@ def test_hub_session():
     assert 1 in s.metrics_queue
     s.upload_model(1, "w.ckpt", is_best=True)
     assert s.uploaded[0]["best"] is True
+
+
+def test_explorer_sql_query(tmp_path):
+    """sql_query evaluates the reference's documented SQL grammar
+    (explorer.py:173) without duckdb: LIKE over label names, numeric
+    comparisons, AND/OR, LIMIT."""
+    import cv2
+    import numpy as np
+    import yaml
+
+    from lpc_yolo_tpu.data.explorer import Explorer
+
+    root = tmp_path / "ds"
+    (root / "images" / "val").mkdir(parents=True)
+    (root / "labels" / "val").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    labels = [["0 0.5 0.5 0.2 0.2", "1 0.3 0.3 0.1 0.1"], ["1 0.5 0.5 0.2 0.2"], []]
+    for i, lns in enumerate(labels):
+        cv2.imwrite(str(root / "images" / "val" / f"{i}.jpg"),
+                    (rng.rand(32, 32, 3) * 255).astype(np.uint8))
+        (root / "labels" / "val" / f"{i}.txt").write_text("\n".join(lns) + "\n")
+    yml = root / "data.yaml"
+    yml.write_text(yaml.safe_dump({"path": str(root), "val": "images/val", "nc": 2,
+                                   "names": {0: "person", 1: "car"}}))
+    ex = Explorer(str(yml))
+
+    rows = ex.sql_query("SELECT * FROM 'table' WHERE labels LIKE '%person%'")
+    assert len(rows) == 1 and rows[0]["im_file"].endswith("0.jpg")
+
+    rows = ex.sql_query("SELECT * FROM 'table' WHERE labels LIKE '%car%' AND n_labels >= 2")
+    assert len(rows) == 1 and "person" in rows[0]["labels"]
+
+    rows = ex.sql_query("SELECT * FROM 'table' WHERE n_labels = 0 OR labels LIKE '%car%'")
+    assert len(rows) == 3
+
+    rows = ex.sql_query("SELECT * FROM 'table' LIMIT 2")
+    assert len(rows) == 2
+
+    rows = ex.sql_query("SELECT * FROM 'table' WHERE (cls = 0 AND n_labels > 1) OR n_labels = 0")
+    assert len(rows) == 2
