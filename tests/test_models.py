@@ -66,11 +66,23 @@ def test_forward_shapes(cfg):
 
 def test_fused_decode_matches_full_decode():
     """decode_feats_topk (top-k before DFL/sigmoid) must equal the full decode
-    + v10 top-k pipeline row-for-row (sigmoid monotonicity argument)."""
+    + v10 top-k pipeline row-for-row (sigmoid monotonicity argument).
+
+    The claim is head-level, so a 4-layer graph with a v10Detect head stands
+    in for the full model (the full-model compile dominated suite time)."""
     from lpc_yolo_tpu.nn.heads import decode_feats, decode_feats_topk
     from lpc_yolo_tpu.ops import v10_detections
 
-    m = build_model(CFG / "v10/yolov10n.yaml")
+    tiny = {
+        "nc": 80,
+        "backbone": [
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 1, "Conv", [256, 3, 2]],
+        ],
+        "head": [[[0, 1, 2], 1, "v10Detect", ["nc"]]],
+    }
+    m = build_model(tiny)
     v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), training=True)
     x = jnp.asarray(np.random.RandomState(2).rand(2, 96, 96, 3).astype(np.float32))
     out, _ = m.apply(v, x, training=True, mutable=["batch_stats"])

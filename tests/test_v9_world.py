@@ -51,12 +51,36 @@ def test_v9c_forward():
 
 
 def test_v9e_cblinear_cbfuse_routing():
+    """Full yolov9e graph compiles (channel inference + CBLinear/CBFuse
+    routing) via eval_shape — no XLA compile of the huge graph — and a small
+    CBLinear->CBFuse pair runs numerically."""
     m = build_model(f"{CFG}/v9/yolov9e.yaml", nc=2)
-    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
-    out = jax.jit(lambda v, x: m.apply(v, x, training=False, predict_only=True)["pred"])(
-        v, jnp.zeros((1, 64, 64, 3))
+    assert {"RepNCSPELAN4", "ADown", "CBLinear", "CBFuse"} <= {s.module for s in m.specs}
+    out_shape = jax.eval_shape(
+        lambda x: m.apply(
+            m.init(jax.random.PRNGKey(0), x, training=True), x,
+            training=False, predict_only=True,
+        )["pred"],
+        jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32),
     )
-    assert out.shape == (1, 84, 4 + 2)
+    assert out_shape.shape == (1, 84, 4 + 2)
+
+    # numeric routing on a small graph: CBLinear splits, CBFuse resizes+sums
+    tiny = {
+        "nc": 2,
+        "backbone": [
+            [-1, 1, "Conv", [32, 3, 2]],          # 0
+            [-1, 1, "CBLinear", [[16, 32]]],      # 1: split into 16+32 ch
+            [0, 1, "Conv", [16, 3, 2]],           # 2
+            [[1, -1], 1, "CBFuse", [[0]]],        # 3: fuse CBLinear branch 0
+            [-1, 1, "Conv", [32, 3, 2]],          # 4
+        ],
+        "head": [[[4], 1, "Detect", ["nc"]]],
+    }
+    tm = build_model(tiny)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    v = tm.init(jax.random.PRNGKey(0), x, training=True)
+    out = tm.apply(v, x, training=False, predict_only=True)["pred"]
     assert np.isfinite(np.asarray(out)).all()
 
 
