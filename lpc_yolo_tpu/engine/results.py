@@ -74,6 +74,66 @@ class Boxes:
         return self
 
 
+class Masks:
+    """Instance masks (N, H, W) with xy/xyn polygon accessors (reference
+    engine/results.py:523-570)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: Tuple[int, int]):
+        self.data = np.asarray(data)
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        # int index yields the raw (H, W) mask array (ndarray duck-typing for
+        # existing consumers); slices keep the container
+        if isinstance(idx, (int, np.integer)):
+            return self.data[idx]
+        return Masks(self.data[idx], self.orig_shape)
+
+    def __array__(self, dtype=None):
+        return np.asarray(self.data, dtype=dtype)
+
+    @property
+    def shape(self):
+        return self.data.shape
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    @property
+    def xy(self):
+        """Per-mask largest contour as pixel-space (K, 2) polygons."""
+        import cv2
+
+        out = []
+        h0, w0 = self.orig_shape
+        for m in self.data:
+            mm = (np.asarray(m) > 0.5).astype(np.uint8)
+            cs, _ = cv2.findContours(mm, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE)
+            if not cs:
+                out.append(np.zeros((0, 2), np.float32))
+                continue
+            c = max(cs, key=cv2.contourArea).reshape(-1, 2).astype(np.float32)
+            c[:, 0] *= w0 / mm.shape[1]
+            c[:, 1] *= h0 / mm.shape[0]
+            out.append(c)
+        return out
+
+    @property
+    def xyn(self):
+        h0, w0 = self.orig_shape
+        return [p / np.array([w0, h0], np.float32) for p in self.xy]
+
+
 class Results:
     """One image's predictions (mirrors engine/results.py:66-430)."""
 
@@ -93,7 +153,7 @@ class Results:
         self.path = path
         self.names = names
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
-        self.masks = masks
+        self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.probs = probs
         self.keypoints = keypoints
         self.speed = speed or {}
@@ -138,7 +198,7 @@ class Results:
             cls_ids = (
                 [int(c) for c in self.boxes.data[:, -1]] if self.boxes is not None else range(len(self.masks))
             )
-            ann.masks(np.asarray(self.masks), [colors(c, bgr=True) for c in cls_ids])
+            ann.masks(np.asarray(self.masks.data), [colors(c, bgr=True) for c in cls_ids])
         if boxes and self.boxes is not None:
             ids = self.boxes.id
             for i, row in enumerate(self.boxes.data):
@@ -165,6 +225,24 @@ class Results:
 
         cv2.imwrite(filename, self.plot())
         return filename
+
+    def save_crop(self, save_dir, file_name: str = "im.jpg"):
+        """Save each detection's crop to save_dir/<class-name>/<file_name>
+        (reference engine/results.py:366 + plotting.save_one_box: box grown
+        by gain 1.02 + 10 px pad, clipped to the frame)."""
+        if self.probs is not None:
+            return  # classify has no boxes (reference warns and returns)
+        if self.boxes is None:
+            return
+        from ..utils.plotting import save_one_box
+
+        for row in self.boxes.data:
+            c = int(row[-1])
+            name = self.names.get(c, str(c))
+            save_one_box(
+                row[:4], self.orig_img,
+                file=Path(save_dir) / name / file_name,
+            )
 
     def to_json(self, normalize: bool = False) -> str:
         rows = []

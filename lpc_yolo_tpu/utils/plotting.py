@@ -270,3 +270,34 @@ class Annotator:
 
     def result(self) -> np.ndarray:
         return self.im
+
+
+def save_one_box(xyxy, im: np.ndarray, file="im.jpg", gain: float = 1.02,
+                 pad: int = 10, square: bool = False, save: bool = True) -> np.ndarray:
+    """Crop a box from an image with gain/pad margins and optionally save it
+    (reference plotting.py:653-702 save_one_box). Returns the crop (BGR)."""
+    from pathlib import Path
+
+    b = np.asarray(xyxy, np.float32).reshape(4)
+    cx, cy = (b[0] + b[2]) / 2, (b[1] + b[3]) / 2
+    w, h = (b[2] - b[0]) * gain + pad, (b[3] - b[1]) * gain + pad
+    if square:
+        w = h = max(w, h)
+    x1 = int(max(0, cx - w / 2))
+    y1 = int(max(0, cy - h / 2))
+    x2 = int(min(im.shape[1], cx + w / 2))
+    y2 = int(min(im.shape[0], cy + h / 2))
+    crop = im[y1:y2, x1:x2]
+    if save:
+        import cv2
+
+        f = Path(file)
+        f.parent.mkdir(parents=True, exist_ok=True)
+        # unique suffix like the reference's increment behavior
+        out = f
+        i = 1
+        while out.exists():
+            out = f.with_name(f"{f.stem}{i}{f.suffix}")
+            i += 1
+        cv2.imwrite(str(out), crop)
+    return crop

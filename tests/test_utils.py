@@ -336,3 +336,34 @@ def test_sliced_inference_grid_and_merge():
     dets = sliced_predict(_FakeYOLO(), img, tile=64, overlap=0.25)
     assert dets.shape[1] == 6 and len(dets) >= 1
     assert np.isfinite(dets).all()
+
+
+def test_results_save_crop_and_masks_container(tmp_path):
+    """Results.save_crop writes per-class crops; Masks exposes polygons and
+    duck-types ndarray for existing consumers."""
+    import numpy as np
+
+    from lpc_yolo_tpu.engine.results import Masks, Results
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[:] = 100
+    boxes = np.array([[8, 8, 24, 24, 0.9, 0], [30, 30, 50, 60, 0.8, 1]], np.float32)
+    mask = np.zeros((2, 32, 32), np.float32)
+    mask[0, 4:12, 4:12] = 1.0
+    r = Results(img, "x.jpg", {0: "cat", 1: "dog"}, boxes=boxes, masks=mask)
+
+    r.save_crop(tmp_path, "crop.jpg")
+    assert (tmp_path / "cat" / "crop.jpg").exists()
+    assert (tmp_path / "dog" / "crop.jpg").exists()
+    r.save_crop(tmp_path, "crop.jpg")  # second save increments, no overwrite
+    assert (tmp_path / "cat" / "crop1.jpg").exists()
+
+    m = r.masks
+    assert isinstance(m, Masks)
+    assert m.shape == (2, 32, 32) and len(m) == 2
+    assert np.asarray(m).shape == (2, 32, 32)  # __array__ duck-typing
+    assert isinstance(m[0], np.ndarray)  # int index -> raw mask
+    polys = m.xy
+    assert len(polys) == 2 and polys[0].shape[1] == 2
+    assert polys[0][:, 0].max() <= 64  # scaled to orig frame
+    assert m.xyn[0][:, 0].max() <= 1.0 + 1e-6
