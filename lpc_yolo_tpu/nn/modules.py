@@ -85,7 +85,6 @@ class ConvBN(nn.Module):
     g: int = 1
     d: int = 1
     act: Any = "silu"  # 'silu' | 'mish' | True (silu) | False/'none'
-    nchw: bool = False  # channels-first execution (same variable tree)
     pack_in: int = 1  # width-pack factor of the input (deploy serving layout)
     pack_out: int = 1  # width-pack factor of the output
     dtype: Any = jnp.float32
@@ -95,7 +94,7 @@ class ConvBN(nn.Module):
         pad = autopad(self.k, self.p, self.d)
         if not training and DEPLOY_MATH.get():
             packed = self.pack_in > 1 or self.pack_out > 1
-            cin = x.shape[1] if self.nchw else x.shape[-1]
+            cin = x.shape[-1]
             if packed:
                 cin = cin // self.pack_in
             w = _Kernel((self.k, self.k, cin // self.g, self.c2), name="conv")()
@@ -106,41 +105,13 @@ class ConvBN(nn.Module):
             if packed:
                 assert self.g == 1 and self.d == 1
                 return packed_conv(x, W, self.s, self.pack_in, self.pack_out, b=b, act=self.act)
-            dn = ("NCHW", "HWIO", "NCHW") if self.nchw else ("NHWC", "HWIO", "NHWC")
             y = jax.lax.conv_general_dilated(
                 x, W, (self.s, self.s), [(pad, pad), (pad, pad)],
-                rhs_dilation=(self.d, self.d), dimension_numbers=dn,
-                feature_group_count=self.g,
-            )
-            y = y + (b[:, None, None] if self.nchw else b)
-            return apply_act(y, self.act)
-        if self.nchw:
-            # Channels-first path for low-channel stem layers: TPU puts the
-            # minor-most dim on the 128-wide lane axis, so NHWC tensors with
-            # C=3..64 pad up to 42x; NCHW keeps W (a multiple of 128 at stem
-            # resolutions) on the lanes. Identical params: the HWIO kernel is
-            # declared at nn.Conv's exact path ('conv'/'kernel').
-            w = _Kernel(
-                (self.k, self.k, x.shape[1] // self.g, self.c2), name="conv"
-            )()
-            x = jax.lax.conv_general_dilated(
-                x,
-                w.astype(self.dtype),
-                (self.s, self.s),
-                [(pad, pad), (pad, pad)],
                 rhs_dilation=(self.d, self.d),
-                dimension_numbers=("NCHW", "HWIO", "NCHW"),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.g,
             )
-            x = nn.BatchNorm(
-                use_running_average=not training,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
-                axis=1,
-                dtype=self.dtype,
-                name="bn",
-            )(x)
-            return apply_act(x, self.act)
+            return apply_act(y + b, self.act)
         x = nn.Conv(
             self.c2,
             (self.k, self.k),
@@ -278,7 +249,6 @@ class C2f(nn.Module):
     g: int = 1
     e: float = 0.5
     deploy: bool = False
-    nchw: bool = False  # deploy-path channels-first execution
     pack: int = 1  # deploy-path width-pack factor (128 // c2)
     pack_in: int = 1  # input pack factor (1 = unpacked input; cv1 packs)
     dtype: Any = jnp.float32
@@ -288,7 +258,6 @@ class C2f(nn.Module):
         c = int(self.c2 * self.e)
         if self.deploy and not training and self.g == 1:
             return self._deploy_call(x, c)
-        assert not self.nchw, "nchw C2f requires the deploy inference path"
         y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
@@ -304,8 +273,8 @@ class C2f(nn.Module):
 
     def _deploy_call(self, x, c):
         dt = self.dtype
-        layout = ("NCHW", "HWIO", "NCHW") if self.nchw else ("NHWC", "HWIO", "NHWC")
-        c1 = x.shape[1 if self.nchw else -1]
+        layout = ("NHWC", "HWIO", "NHWC")
+        c1 = x.shape[-1]
         if self.pack > 1:
             c1 = c1 // self.pack_in
         w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
@@ -320,10 +289,6 @@ class C2f(nn.Module):
                 ((w1, jnp.tile(b1, self.pack)), (w2, jnp.tile(b2, self.pack)))
                 for (w1, b1), (w2, b2) in bots
             ]
-        elif self.nchw:
-            b_cv1 = b_cv1[:, None, None]
-            b_cv2 = b_cv2[:, None, None]
-            bots = [((w1, b1[:, None, None]), (w2, b2[:, None, None])) for (w1, b1), (w2, b2) in bots]
 
         def conv(t, w, p=0, first=False):
             if self.pack > 1:

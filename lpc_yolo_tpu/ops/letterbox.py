@@ -81,13 +81,6 @@ def device_preprocess(imgs_u8: jnp.ndarray, bgr: bool = False) -> jnp.ndarray:
     return x
 
 
-def device_preprocess_nchw(imgs_u8: jnp.ndarray, bgr: bool = False) -> jnp.ndarray:
-    """uint8 NCHW -> fp32 NCHW in [0,1]."""
-    x = imgs_u8.astype(jnp.float32) / 255.0
-    if bgr:
-        x = x[:, ::-1]
-    return x
-
 
 def device_preprocess_wpack(imgs_u8: jnp.ndarray, bgr: bool = False) -> jnp.ndarray:
     """uint8 width-packed (B, H, W/8, 8*3) -> fp32 same shape in [0,1].
