@@ -102,16 +102,71 @@ class Validator:
                 return non_max_suppression(
                     out["pred"][..., : 4 + model.nc], self.conf, self.iou, self.max_det
                 )
+            if task == "segment":
+                from ..ops.masks import process_mask
+
+                det, aidx = non_max_suppression(
+                    out["pred"], self.conf, self.iou, self.max_det, return_anchor_idx=True
+                )
+                mc = jnp.take_along_axis(out["mc"], aidx[..., None], axis=1)
+                hw = (self.imgsz, self.imgsz)
+                masks = jax.vmap(lambda p, c, b: process_mask(p, c, b, hw, upsample=True))(
+                    out["proto"], mc, det[..., :4]
+                )
+                return det, masks > 0.5
+            if task == "pose":
+                det, aidx = non_max_suppression(
+                    out["pred"], self.conf, self.iou, self.max_det, return_anchor_idx=True
+                )
+                kpt = jnp.take_along_axis(out["kpt"], aidx[..., None], axis=1)
+                return det, kpt
             return non_max_suppression(out["pred"], self.conf, self.iou, self.max_det)
 
         self._predict_cache[id(model)] = predict
         return predict
 
+    def _gt_masks(self, dataset, ds_idx: int, batch, j: int) -> np.ndarray:
+        """Rasterize GT polygons at letterbox resolution (host-side).
+
+        The val loader is sequential (shuffle=False), so ds_idx maps batch
+        position back to the dataset row holding the raw segments.
+        """
+        import cv2
+
+        lab = dataset.labels[ds_idx]
+        segs = lab.get("segments", [])
+        h0, w0 = batch["orig_shape"][j]
+        gain = float(batch["gain"][j])
+        pad = batch["pad"][j]
+        out = np.zeros((len(segs), self.imgsz, self.imgsz), np.uint8)
+        for i, poly in enumerate(segs):
+            p = np.asarray(poly, np.float32) * np.array([w0 * gain, h0 * gain], np.float32)
+            p += np.asarray(pad, np.float32)
+            cv2.fillPoly(out[i], [p.astype(np.int32)], 1)
+        return out
+
+    def _gt_kpts(self, dataset, ds_idx: int, batch, j: int) -> np.ndarray:
+        """GT keypoints in letterbox pixel space: (M, K, 3) with visibility."""
+        lab = dataset.labels[ds_idx]
+        k = np.asarray(lab.get("keypoints", np.zeros((0, 17, 3))), np.float32).copy()
+        if len(k) == 0:
+            return k
+        h0, w0 = batch["orig_shape"][j]
+        gain = float(batch["gain"][j])
+        pad = batch["pad"][j]
+        k[..., 0] = k[..., 0] * (w0 * gain) + float(pad[0])
+        k[..., 1] = k[..., 1] * (h0 * gain) + float(pad[1])
+        return k
+
     def __call__(self, data, model=None, variables=None) -> Dict[str, float]:
         model = model if model is not None else self.yolo.model
         variables = variables if variables is not None else self.yolo.variables
         info = check_det_dataset(data)
-        dataset = YOLODataset(info["val"], imgsz=self.imgsz, names=info["names"])
+        task = self.yolo.task if self.yolo is not None else "v10"
+        dataset = YOLODataset(
+            info["val"], imgsz=self.imgsz, names=info["names"],
+            kpt_shape=info.get("kpt_shape"),
+        )
         loader = DataLoader(
             dataset,
             ValTransforms(self.imgsz, self.max_gt),
@@ -123,27 +178,39 @@ class Validator:
         predict = self._make_predict(model, variables)
 
         stats: Dict[str, List[np.ndarray]] = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
+        # task-specific second criterion: mask IoU (segment) / OKS (pose),
+        # mirroring reference SegmentationValidator/PoseValidator
+        stats_x: Dict[str, List[np.ndarray]] = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         cm = ConfusionMatrix(nc=info["nc"], conf=self.conf)
         json_preds: List[Dict] = []
+        seen = 0
         for batch in loader:
             t0 = time.perf_counter()
             b_, h_, w_, _ = batch["img"].shape
             imgs = jnp.asarray(batch["img"].reshape(b_, h_, w_ // 8, 24))
             t1 = time.perf_counter()
-            det = np.asarray(predict(variables, imgs))  # (B, max_det, 6)
+            out = predict(variables, imgs)
+            extra = None
+            if isinstance(out, tuple):
+                det, extra = np.asarray(out[0]), np.asarray(out[1])
+            else:
+                det = np.asarray(out)  # (B, max_det, 6)
             t2 = time.perf_counter()
             n_real = det.shape[0] - batch["pad_count"]
             for j in range(n_real):
+                ds_idx = seen + j
                 rows = det[j]
-                rows = rows[rows[:, 4] > self.conf]
+                keep = rows[:, 4] > self.conf
+                rows = rows[keep]
                 gt_boxes = batch["bboxes"][j][batch["mask"][j]]
                 gt_cls = batch["cls"][j][batch["mask"][j]]
                 if len(rows) == 0:
                     if len(gt_cls):
-                        stats["tp"].append(np.zeros((0, len(self.iouv)), bool))
-                        stats["conf"].append(np.zeros(0))
-                        stats["pred_cls"].append(np.zeros(0))
-                        stats["target_cls"].append(gt_cls)
+                        for st in (stats, stats_x) if extra is not None else (stats,):
+                            st["tp"].append(np.zeros((0, len(self.iouv)), bool))
+                            st["conf"].append(np.zeros(0))
+                            st["pred_cls"].append(np.zeros(0))
+                            st["target_cls"].append(gt_cls)
                         cm.process_batch(None, gt_boxes, gt_cls)
                     continue
                 iou = box_iou_np(gt_boxes, rows[:, :4])
@@ -153,8 +220,32 @@ class Validator:
                 stats["pred_cls"].append(rows[:, 5])
                 stats["target_cls"].append(gt_cls)
                 cm.process_batch(rows, gt_boxes, gt_cls)
+                if extra is not None and task == "segment":
+                    from ..utils.metrics import mask_iou_np
+
+                    gt_m = self._gt_masks(dataset, ds_idx, batch, j)
+                    iou_m = mask_iou_np(gt_m, extra[j][keep])
+                    stats_x["tp"].append(match_predictions(rows[:, 5], gt_cls, iou_m, self.iouv))
+                    stats_x["conf"].append(rows[:, 4])
+                    stats_x["pred_cls"].append(rows[:, 5])
+                    stats_x["target_cls"].append(gt_cls)
+                elif extra is not None and task == "pose":
+                    from ..losses.pose import OKS_SIGMA
+                    from ..utils.metrics import kpt_iou_np
+
+                    gt_k = self._gt_kpts(dataset, ds_idx, batch, j)
+                    nk = gt_k.shape[1] if len(gt_k) else 17
+                    kd = (info.get("kpt_shape") or [17, 3])[1]
+                    pk = extra[j][keep].reshape(len(rows), -1, kd)[:, :nk]
+                    area = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]) * 0.53
+                    iou_k = kpt_iou_np(gt_k, pk, area, np.asarray(OKS_SIGMA[:nk]))
+                    stats_x["tp"].append(match_predictions(rows[:, 5], gt_cls, iou_k, self.iouv))
+                    stats_x["conf"].append(rows[:, 4])
+                    stats_x["pred_cls"].append(rows[:, 5])
+                    stats_x["target_cls"].append(gt_cls)
                 if self.save_json:
                     json_preds.extend(self._to_coco_json(rows, batch, j))
+            seen += n_real
             t3 = time.perf_counter()
             self.speed["preprocess"] += t1 - t0
             self.speed["inference"] += t2 - t1
@@ -171,6 +262,21 @@ class Validator:
         self.metrics = metrics
         self.confusion_matrix = cm
         results = metrics.results_dict()
+        if stats_x["tp"]:
+            # second-criterion mAP: masks (M) for segment, OKS pose (P) —
+            # reference SegmentMetrics/PoseMetrics results_dict keys
+            mx = DetMetrics(names=info["names"])
+            mx.process(
+                np.concatenate(stats_x["tp"]),
+                np.concatenate(stats_x["conf"]),
+                np.concatenate(stats_x["pred_cls"]),
+                np.concatenate(stats_x["target_cls"]),
+            )
+            sfx = "M" if task == "segment" else "P"
+            for k, v in mx.results_dict().items():
+                if k != "fitness":
+                    results[k.replace("(B)", f"({sfx})")] = v
+            self.metrics_extra = mx
         if self.save_json and self.save_dir:
             self.save_dir.mkdir(parents=True, exist_ok=True)
             (self.save_dir / "predictions.json").write_text(json.dumps(json_preds))

@@ -276,3 +276,33 @@ class ConfusionMatrix:
         for i, dc in enumerate(detection_classes):
             if not (n and (m1 == i).any()):
                 self.matrix[dc, self.nc] += 1  # background FP
+
+
+def mask_iou_np(gt_masks: np.ndarray, pred_masks: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Instance-mask IoU matrix (reference metrics.py:137 mask_iou).
+
+    gt_masks (M, H, W), pred_masks (N, H, W) binary -> (M, N).
+    """
+    if len(gt_masks) == 0 or len(pred_masks) == 0:
+        return np.zeros((len(gt_masks), len(pred_masks)), np.float32)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float32)
+    p = pred_masks.reshape(len(pred_masks), -1).astype(np.float32)
+    inter = g @ p.T
+    union = g.sum(1)[:, None] + p.sum(1)[None] - inter
+    return inter / (union + eps)
+
+
+def kpt_iou_np(gt_kpts: np.ndarray, pred_kpts: np.ndarray, area: np.ndarray,
+               sigmas: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Object Keypoint Similarity matrix (reference metrics.py:156 kpt_iou).
+
+    gt_kpts (M, K, 3) with visibility, pred_kpts (N, K, 2+) -> (M, N) OKS.
+    """
+    if len(gt_kpts) == 0 or len(pred_kpts) == 0:
+        return np.zeros((len(gt_kpts), len(pred_kpts)), np.float32)
+    d = (gt_kpts[:, None, :, 0] - pred_kpts[None, :, :, 0]) ** 2 + (
+        gt_kpts[:, None, :, 1] - pred_kpts[None, :, :, 1]
+    ) ** 2  # (M, N, K)
+    vis = gt_kpts[..., 2] != 0  # (M, K)
+    e = d / (2 * np.asarray(sigmas)) ** 2 / (area[:, None, None] + eps) / 2
+    return (np.exp(-e) * vis[:, None]).sum(-1) / (vis.sum(-1)[:, None] + eps)

@@ -196,3 +196,30 @@ def test_matching_and_map_agree_with_reference():
     ref_out = ref_ap_per_class(tp_r, conf, pc, tc, names={0: "a", 1: "b", 2: "c"})
     ref_map = ref_out[5].mean()  # ap (nc, 10) is the 6th return
     assert abs(ours - float(ref_map)) < 1e-9, (ours, ref_map)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="torch reference not mounted")
+def test_mask_kpt_iou_parity_vs_reference():
+    """mask_iou_np / kpt_iou_np match the reference metrics (metrics.py:137,156)."""
+    import torch
+
+    _ref_ultralytics()
+    from ultralytics.utils.metrics import kpt_iou as t_kpt_iou
+    from ultralytics.utils.metrics import mask_iou as t_mask_iou
+
+    from lpc_yolo_tpu.utils.metrics import kpt_iou_np, mask_iou_np
+
+    rng = np.random.RandomState(0)
+    g = (rng.rand(3, 16, 16) > 0.5).astype(np.float32)
+    p = (rng.rand(4, 16, 16) > 0.5).astype(np.float32)
+    ref = t_mask_iou(torch.tensor(g.reshape(3, -1)), torch.tensor(p.reshape(4, -1))).numpy()
+    np.testing.assert_allclose(mask_iou_np(g, p), ref, atol=1e-6)
+
+    K = 17
+    gk = rng.rand(3, K, 3).astype(np.float32) * 100
+    gk[..., 2] = (rng.rand(3, K) > 0.3).astype(np.float32) * 2
+    pk = rng.rand(5, K, 3).astype(np.float32) * 100
+    area = rng.rand(3).astype(np.float32) * 500 + 50
+    sig = np.linspace(0.02, 0.1, K).astype(np.float32)
+    ref = t_kpt_iou(torch.tensor(gk), torch.tensor(pk), torch.tensor(area), sig.tolist()).numpy()
+    np.testing.assert_allclose(kpt_iou_np(gk, pk, area, sig), ref, atol=1e-5)

@@ -91,3 +91,16 @@ def test_seg_predict_end_to_end():
         assert r.masks is not None
         assert r.masks.shape[1:] == (100, 160)
         assert r.masks.dtype == bool
+
+
+def test_seg_val_mask_map(tmp_path):
+    """Validator on a segment model reports mask mAP keys ((M) suffix) next
+    to box mAP — reference SegmentMetrics semantics."""
+    from lpc_yolo_tpu.data import make_synthetic_dataset
+
+    y = make_synthetic_dataset(tmp_path / "ds", n_train=2, n_val=2, imgsz=96, nc=2, segments=True)
+    m = YOLO("yolov8-seg.yaml", nc=2)
+    res = m.val(data=y, imgsz=96, batch=2, conf=0.001)
+    assert "metrics/mAP50-95(B)" in res
+    assert "metrics/mAP50-95(M)" in res and "metrics/mAP50(M)" in res
+    assert np.isfinite(res["metrics/mAP50-95(M)"])

@@ -278,3 +278,14 @@ def test_rotated_assigner_and_probiou():
     )
     assert bool(res.fg_mask.any())
     assert res.target_bboxes.shape[-1] == 5
+
+
+def test_pose_val_oks_map(pose_ds):
+    """Validator on a pose model reports OKS mAP keys ((P) suffix) —
+    reference PoseMetrics semantics."""
+    data_yaml, model_yaml = pose_ds
+    m = YOLO(model_yaml)
+    res = m.val(data=data_yaml, imgsz=96, batch=2, conf=0.001)
+    assert "metrics/mAP50-95(B)" in res
+    assert "metrics/mAP50-95(P)" in res and "metrics/mAP50(P)" in res
+    assert np.isfinite(res["metrics/mAP50-95(P)"])
