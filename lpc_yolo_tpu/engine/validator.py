@@ -98,10 +98,15 @@ class Validator:
                 labels = jnp.argmax(pred[..., 4:], axis=-1).astype(boxes.dtype)
                 return jnp.concatenate([boxes, best[..., None], labels[..., None]], axis=-1)
             if task == "obb":
-                # axis-aligned approximation over the rbox xywh (rotated NMS roadmap)
-                return non_max_suppression(
-                    out["pred"][..., : 4 + model.nc], self.conf, self.iou, self.max_det
+                # suppression on the axis-aligned hull; matching uses the
+                # rotated boxes (probIoU) like the reference OBBValidator
+                det, aidx = non_max_suppression(
+                    out["pred"][..., : 4 + model.nc], self.conf, self.iou, self.max_det,
+                    return_anchor_idx=True,
                 )
+                rb = jnp.take_along_axis(out["pred"], aidx[..., None], axis=1)
+                rbox = jnp.concatenate([rb[..., :4], rb[..., -1:]], axis=-1)  # (B, D, 5)
+                return det, rbox
             if task == "segment":
                 from ..ops.masks import process_mask
 
@@ -158,6 +163,20 @@ class Validator:
         k[..., 1] = k[..., 1] * (h0 * gain) + float(pad[1])
         return k
 
+    def _gt_rboxes(self, dataset, ds_idx: int, batch, j: int) -> np.ndarray:
+        """GT rotated boxes in letterbox space: (M, 5) [cx, cy, w, h, angle]."""
+        rb = np.asarray(dataset.labels[ds_idx].get("rboxes", np.zeros((0, 5))), np.float32).copy()
+        if len(rb) == 0:
+            return rb
+        h0, w0 = batch["orig_shape"][j]
+        gain = float(batch["gain"][j])
+        pad = batch["pad"][j]
+        rb[:, 0] = rb[:, 0] * (w0 * gain) + float(pad[0])
+        rb[:, 1] = rb[:, 1] * (h0 * gain) + float(pad[1])
+        rb[:, 2] *= w0 * gain
+        rb[:, 3] *= h0 * gain
+        return rb
+
     def __call__(self, data, model=None, variables=None) -> Dict[str, float]:
         model = model if model is not None else self.yolo.model
         variables = variables if variables is not None else self.yolo.variables
@@ -165,7 +184,7 @@ class Validator:
         task = self.yolo.task if self.yolo is not None else "v10"
         dataset = YOLODataset(
             info["val"], imgsz=self.imgsz, names=info["names"],
-            kpt_shape=info.get("kpt_shape"),
+            kpt_shape=info.get("kpt_shape"), obb=(task == "obb"),
         )
         loader = DataLoader(
             dataset,
@@ -206,14 +225,22 @@ class Validator:
                 gt_cls = batch["cls"][j][batch["mask"][j]]
                 if len(rows) == 0:
                     if len(gt_cls):
-                        for st in (stats, stats_x) if extra is not None else (stats,):
+                        two = extra is not None and task in ("segment", "pose")
+                        for st in (stats, stats_x) if two else (stats,):
                             st["tp"].append(np.zeros((0, len(self.iouv)), bool))
                             st["conf"].append(np.zeros(0))
                             st["pred_cls"].append(np.zeros(0))
                             st["target_cls"].append(gt_cls)
                         cm.process_batch(None, gt_boxes, gt_cls)
                     continue
-                iou = box_iou_np(gt_boxes, rows[:, :4])
+                if task == "obb" and extra is not None:
+                    # rotated probIoU matching (reference obb/val.py _process_batch)
+                    from ..utils.metrics import probiou_matrix_np
+
+                    gt_rb = self._gt_rboxes(dataset, ds_idx, batch, j)
+                    iou = probiou_matrix_np(gt_rb, extra[j][keep])
+                else:
+                    iou = box_iou_np(gt_boxes, rows[:, :4])
                 tp = match_predictions(rows[:, 5], gt_cls, iou, self.iouv)
                 stats["tp"].append(tp)
                 stats["conf"].append(rows[:, 4])

@@ -306,3 +306,15 @@ def kpt_iou_np(gt_kpts: np.ndarray, pred_kpts: np.ndarray, area: np.ndarray,
     vis = gt_kpts[..., 2] != 0  # (M, K)
     e = d / (2 * np.asarray(sigmas)) ** 2 / (area[:, None, None] + eps) / 2
     return (np.exp(-e) * vis[:, None]).sum(-1) / (vis.sum(-1)[:, None] + eps)
+
+
+def probiou_matrix_np(obb1: np.ndarray, obb2: np.ndarray) -> np.ndarray:
+    """Pairwise probIoU matrix for rotated boxes: (M, 5) x (N, 5) -> (M, N)
+    (reference batch_probiou, metrics.py:260s — the OBB validator's match
+    criterion)."""
+    m, n = len(obb1), len(obb2)
+    if m == 0 or n == 0:
+        return np.zeros((m, n), np.float32)
+    a = np.repeat(obb1, n, axis=0)
+    b = np.tile(obb2, (m, 1))
+    return probiou_np(a, b).reshape(m, n)

@@ -289,3 +289,30 @@ def test_pose_val_oks_map(pose_ds):
     assert "metrics/mAP50-95(B)" in res
     assert "metrics/mAP50-95(P)" in res and "metrics/mAP50(P)" in res
     assert np.isfinite(res["metrics/mAP50-95(P)"])
+
+
+def test_obb_val_rotated_matching(tmp_path):
+    """OBB validation matches with rotated probIoU (reference obb/val.py),
+    not the axis-aligned hull."""
+    import cv2
+    import yaml
+
+    rng = np.random.RandomState(0)
+    imgsz = 96
+    (tmp_path / "ds/images/val").mkdir(parents=True, exist_ok=True)
+    (tmp_path / "ds/labels/val").mkdir(parents=True, exist_ok=True)
+    for i in range(2):
+        img = rng.randint(90, 140, (imgsz, imgsz, 3), np.uint8)
+        rect = cv2.boxPoints(((48.0, 48.0), (30.0, 16.0), 30.0))
+        cv2.fillPoly(img, [rect.astype(np.int32)], (60, 60, 220))
+        pts = " ".join(f"{p[0] / imgsz:.4f} {p[1] / imgsz:.4f}" for p in rect)
+        cv2.imwrite(str(tmp_path / "ds/images/val" / f"im{i}.jpg"), img)
+        (tmp_path / "ds/labels/val" / f"im{i}.txt").write_text(f"0 {pts}\n")
+    (tmp_path / "ds/data.yaml").write_text(
+        yaml.safe_dump({"path": str(tmp_path / "ds"), "val": "images/val",
+                        "nc": 1, "names": {0: "obj"}})
+    )
+    m = YOLO("yolov8-obb.yaml", nc=1)
+    res = m.val(data=str(tmp_path / "ds/data.yaml"), imgsz=96, batch=2, conf=0.001)
+    assert "metrics/mAP50-95(B)" in res
+    assert np.isfinite(res["metrics/mAP50-95(B)"])
