@@ -285,6 +285,8 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> int:
     else:  # C2f
         if p_in not in (1, p_out):
             return 0
+        if len(spec.args) > 2 and spec.args[2] > 2:
+            return 0  # must match the deploy-C2f gate in _build_module
     return p_out
 
 
@@ -313,9 +315,15 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
     if m == "SPPF":
         return M.SPPF(a[1], a[2] if len(a) > 2 else 5, dtype=dtype, name=name)
     if m == "C2f":
+        # The slice/concat-free rewrite expands shortcut blocks into O(n^2)
+        # convs — a win only in the lane-padded low-channel regime, where
+        # slice/concat copies dominate. Measured v10m b32: 706 img/s applied
+        # everywhere, 792 gated at (C<=64 or n<=2), 824 plain; v10n b32
+        # (all C2f at C<=128, n<=2): +21% from the rewrite.
+        dep = deploy and a[1] <= 128 and a[2] <= 2
         return M.C2f(
             a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False,
-            deploy=deploy, pack=pack_out, pack_in=pack_in if pack_out > 1 else 1,
+            deploy=dep, pack=pack_out, pack_in=pack_in if pack_out > 1 else 1,
             dtype=dtype, name=name,
         )
     if m == "C3":
