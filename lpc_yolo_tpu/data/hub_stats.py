@@ -97,7 +97,7 @@ class HUBDatasetStats:
                                    kpt_shape=self.data.get("kpt_shape"))
             x = np.array(
                 [np.bincount(lb["cls"].astype(int).flatten(), minlength=nc) for lb in ds.labels]
-            )
+            ).reshape(-1, nc)  # keep (0, nc) when the split has no labeled images
             self.stats[split] = {
                 "instance_stats": {"total": int(x.sum()), "per_class": x.sum(0).tolist()},
                 "image_stats": {

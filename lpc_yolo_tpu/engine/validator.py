@@ -68,12 +68,14 @@ class Validator:
         Memoized on id(model): a fresh @jax.jit closure per __call__ would
         recompile the full forward+NMS every epoch during training.
         """
-        cached = self._predict_cache.get(id(model))
+        key = id(model)  # key on the ORIGINAL model: the clone below gets a new id
+        cached = self._predict_cache.get(key)
         if cached is not None:
             return cached
         task = self.yolo.task if self.yolo is not None else "v10"
-        # serve the deploy graph, fed channels-first (see Predictor): the
-        # low-channel stem runs NCHW natively, no 3->128 lane padding
+        # serve the deploy graph, fed the width-packed WPACK layout (see
+        # Predictor): host reshape to (B, H, W/P, P*C) is byte-free, and the
+        # packed stem avoids the 3->128 lane-padding HBM waste
         if hasattr(model, "deploy"):
             model = model.clone(deploy=True)
 
@@ -127,7 +129,7 @@ class Validator:
                 return det, kpt
             return non_max_suppression(out["pred"], self.conf, self.iou, self.max_det)
 
-        self._predict_cache[id(model)] = predict
+        self._predict_cache[key] = predict
         return predict
 
     def _gt_masks(self, dataset, ds_idx: int, batch, j: int) -> np.ndarray:

@@ -1180,8 +1180,9 @@ def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):
     wip = x.shape[2]
     wpo = wip * P_in // (s * P_out)
     padR = sp * (wpo - 1) + kwp - wip - padL
+    assert padR >= 0, f"packed_conv invariant violated: padR={padR} for k={kh},s={s},P_in={P_in},P_out={P_out}"
     y = jax.lax.conv_general_dilated(
-        x, Wp, (s, sp), [(ph, ph), (padL, max(padR, 0))],
+        x, Wp, (s, sp), [(ph, ph), (padL, padR)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if b is not None:

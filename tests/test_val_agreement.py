@@ -5,7 +5,7 @@ weights (ported torch->jax), identical on-disk images, then
 
   reference: torch forward -> ops.v10postprocess -> BaseValidator
              .match_predictions -> metrics.ap_per_class        (val.py path)
-  ours:      YOLO facade -> Validator (deploy NCHW predict, decode,
+  ours:      YOLO facade -> Validator (deploy WPACK width-packed predict, decode,
              matching, DetMetrics)
 
 and asserts the resulting mAP50-95 agree. This is the metric-level proof the
