@@ -155,14 +155,14 @@ class Predictor:
             kpt = jnp.take_along_axis(out["kpt"], aidx[..., None], axis=1)  # (B, max_det, nk)
             return det, kpt
         if self.task == "obb":
-            # rotated boxes: suppression approximated on the axis-aligned hull
-            # (reference uses probiou rotated NMS; TODO exact rotated variant)
-            det, aidx = non_max_suppression(
-                pred[..., : 4 + self.model.nc], self.conf, self.iou, self.max_det,
-                return_anchor_idx=True,
-            )
-            angle = jnp.take_along_axis(out["pred"][..., -1:], aidx[..., None], axis=1)
-            return det, angle
+            # rotated probIoU fast-NMS on the true rotated boxes (reference
+            # ops.nms_rotated via non_max_suppression(rotated=True))
+            from ..ops.postprocess import nms_rotated
+
+            rb = jnp.concatenate([pred[..., :4], pred[..., -1:]], axis=-1)
+            return nms_rotated(
+                rb, pred[..., 4 : 4 + self.model.nc], self.conf, self.iou, self.max_det
+            )  # (B, max_det, 7) [cx, cy, w, h, angle, conf, cls]
         if self.task == "segment":
             det, aidx = non_max_suppression(
                 pred, self.conf, self.iou, self.max_det, return_anchor_idx=True
@@ -220,6 +220,35 @@ class Predictor:
                     )
                     continue
                 rows = det[j]
+                if self.task == "obb":
+                    # (max_det, 7) [cx, cy, w, h, angle, conf, cls]: undo the
+                    # letterbox on the rotated params (angle is scale-invariant)
+                    keep = rows[:, 5] > self.conf
+                    rows = rows[keep]
+                    gain = min(self.imgsz / im0.shape[0], self.imgsz / im0.shape[1])
+                    pw = (self.imgsz - im0.shape[1] * gain) / 2
+                    ph = (self.imgsz - im0.shape[0] * gain) / 2
+                    rb = rows[:, :5].copy()
+                    rb[:, 0] = (rb[:, 0] - pw) / gain
+                    rb[:, 1] = (rb[:, 1] - ph) / gain
+                    rb[:, 2:4] /= gain
+                    packed7 = np.concatenate([rb, rows[:, 5:7]], axis=-1)
+                    c, s = np.cos(rb[:, 4]), np.sin(rb[:, 4])
+                    dx = np.abs(rb[:, 2] / 2 * c) + np.abs(rb[:, 3] / 2 * s)
+                    dy = np.abs(rb[:, 2] / 2 * s) + np.abs(rb[:, 3] / 2 * c)
+                    hull = np.stack(
+                        [rb[:, 0] - dx, rb[:, 1] - dy, rb[:, 0] + dx, rb[:, 1] + dy], axis=-1
+                    )
+                    n = max(len(chunk), 1)
+                    yield Results(
+                        im0, path, self.names,
+                        boxes=np.concatenate([hull, rows[:, 5:7]], axis=-1),
+                        obb=packed7,
+                        speed={"preprocess": (t1 - t0) * 1e3 / n,
+                               "inference": (t2 - t1) * 1e3 / n,
+                               "postprocess": (time.perf_counter() - t2) * 1e3 / n},
+                    )
+                    continue
                 keep = rows[:, 4] > self.conf
                 rows = rows[keep]
                 boxes = np.asarray(

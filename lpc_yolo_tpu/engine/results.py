@@ -74,6 +74,53 @@ class Boxes:
         return self
 
 
+class OBBoxes:
+    """Oriented bounding boxes (N, 7) = [cx, cy, w, h, angle, conf, cls]
+    (mirrors the reference's OBB results container, engine/results.py OBB)."""
+
+    def __init__(self, data: np.ndarray, orig_shape: Tuple[int, int]):
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim == 1:
+            data = data.reshape(-1, 7)
+        assert data.shape[-1] == 7, f"expected 7 obb columns, got {data.shape}"
+        self.data = data
+        self.orig_shape = orig_shape
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, idx) -> "OBBoxes":
+        return OBBoxes(self.data[idx], self.orig_shape)
+
+    @property
+    def xywhr(self) -> np.ndarray:
+        return self.data[:, :5]
+
+    @property
+    def conf(self) -> np.ndarray:
+        return self.data[:, 5]
+
+    @property
+    def cls(self) -> np.ndarray:
+        return self.data[:, 6]
+
+    @property
+    def xyxyxyxy(self) -> np.ndarray:
+        """(N, 4, 2) corner points."""
+        rb = self.data
+        c, s = np.cos(rb[:, 4]), np.sin(rb[:, 4])
+        v1 = np.stack([rb[:, 2] / 2 * c, rb[:, 2] / 2 * s], axis=-1)
+        v2 = np.stack([-rb[:, 3] / 2 * s, rb[:, 3] / 2 * c], axis=-1)
+        ctr = rb[:, :2]
+        return np.stack([ctr + v1 + v2, ctr + v1 - v2, ctr - v1 - v2, ctr - v1 + v2], axis=1)
+
+    @property
+    def xyxy(self) -> np.ndarray:
+        """Axis-aligned hulls (N, 4)."""
+        pts = self.xyxyxyxy
+        return np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=-1)
+
+
 class Masks:
     """Instance masks (N, H, W) with xy/xyn polygon accessors (reference
     engine/results.py:523-570)."""
@@ -146,6 +193,7 @@ class Results:
         masks: Optional[np.ndarray] = None,
         probs: Optional[np.ndarray] = None,
         keypoints: Optional[np.ndarray] = None,
+        obb: Optional[np.ndarray] = None,
         speed: Optional[Dict[str, float]] = None,
     ):
         self.orig_img = orig_img
@@ -156,6 +204,7 @@ class Results:
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
         self.probs = probs
         self.keypoints = keypoints
+        self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
 
     def __len__(self) -> int:

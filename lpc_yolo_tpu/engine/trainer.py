@@ -96,6 +96,10 @@ class Trainer:
         self.hyp = hyp or {}
         self.patience = patience
         self.callbacks = CallbackRegistry()
+        # observability sinks (reference add_integration_callbacks in
+        # BaseTrainer.__init__): TB if available + mlflow-filestore/dvclive/
+        # jsonl (dependency-free layouts under save_dir)
+        self.callbacks.add_integration_callbacks(save_dir=self.save_dir)
         self._opt_kw = dict(
             lr0=lr0, lrf=lrf, momentum=momentum, weight_decay=weight_decay,
             warmup_epochs=warmup_epochs, optimizer=optimizer,

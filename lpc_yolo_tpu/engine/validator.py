@@ -100,14 +100,21 @@ class Validator:
                 labels = jnp.argmax(pred[..., 4:], axis=-1).astype(boxes.dtype)
                 return jnp.concatenate([boxes, best[..., None], labels[..., None]], axis=-1)
             if task == "obb":
-                # suppression on the axis-aligned hull; matching uses the
-                # rotated boxes (probIoU) like the reference OBBValidator
-                det, aidx = non_max_suppression(
-                    out["pred"][..., : 4 + model.nc], self.conf, self.iou, self.max_det,
-                    return_anchor_idx=True,
+                # rotated probIoU fast-NMS (reference ops.nms_rotated), then
+                # rotated probIoU matching like the reference OBBValidator;
+                # det keeps the [hull_xyxy, conf, cls] layout for the shared
+                # confusion-matrix/plot consumers
+                from ..ops.boxes import rbox_hull
+                from ..ops.postprocess import nms_rotated
+
+                pred = out["pred"]
+                rb = jnp.concatenate([pred[..., :4], pred[..., -1:]], axis=-1)
+                det7 = nms_rotated(
+                    rb, pred[..., 4 : 4 + model.nc], self.conf, self.iou, self.max_det
                 )
-                rb = jnp.take_along_axis(out["pred"], aidx[..., None], axis=1)
-                rbox = jnp.concatenate([rb[..., :4], rb[..., -1:]], axis=-1)  # (B, D, 5)
+                rbox = det7[..., :5]
+                hull = rbox_hull(rbox)
+                det = jnp.concatenate([hull, det7[..., 5:7]], axis=-1)
                 return det, rbox
             if task == "segment":
                 from ..ops.masks import process_mask

@@ -61,9 +61,24 @@ _BASE = {
     "ADown",
     "SPPELAN",
     "C2fAttn",
+    "SPP",
+    "C1",
+    "C2",
+    "C3x",
+    "C3TR",
+    "C3Ghost",
+    "GhostBottleneck",
+    "BottleneckCSP",
+    "RepC3",
+    "ConvTranspose",
+    "LightConv",
+    "RepConv",
 }
 # Base modules that additionally receive the (depth-scaled) repeat count.
-_REPEAT = {"C2f", "C3", "C2fCIB", "C2f_SPCA", "C2fAttn"}
+_REPEAT = {
+    "C2f", "C3", "C2fCIB", "C2f_SPCA", "C2fAttn",
+    "C1", "C2", "C3x", "C3TR", "C3Ghost", "BottleneckCSP", "RepC3",
+}
 
 _HEADS = {"Detect", "v10Detect", "Segment", "Pose", "OBB", "RTDETRDecoder", "WorldDetect"}
 
@@ -107,7 +122,10 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
     the supported module set; unknown modules raise.
     """
     nc = d["nc"]
-    depth, width, max_channels = 1.0, 1.0, float("inf")
+    # legacy flat multipliers (v3/v5-era YAMLs) — reference tasks.py:841-848
+    depth = d.get("depth_multiple", 1.0)
+    width = d.get("width_multiple", 1.0)
+    max_channels = float("inf")
     scales = d.get("scales")
     if scales:
         scale = d.get("scale") or tuple(scales.keys())[0]
@@ -126,6 +144,9 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
         ]
         n_res = max(round(n * depth), 1) if n > 1 else n
         f_list = [f] if isinstance(f, int) else list(f)
+        # normalize negative routing indices other than -1 (e.g. rt-detr's
+        # [[-2, -1], Concat]) to absolute layer indices; -1 stays relative
+        f_list = [x if x == -1 or x >= 0 else x + i for x in f_list]
 
         if m in _BASE:
             c1, c2 = chs[f_list[0]], args[0]
@@ -142,6 +163,23 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
                 n_res = 1
         elif m == "Concat":
             c2 = sum(chs[x] for x in f_list)
+            out_args = list(args)
+        elif m == "AIFI":
+            # reference tasks.py:916: args = [ch[f], *args]; channels preserved
+            c1 = chs[f_list[0]]
+            out_args = [c1, *args]
+            c2 = c1
+        elif m in ("HGStem", "HGBlock"):
+            # reference tasks.py:918-923: [c1, cm, c2, *rest]; HGBlock gets n
+            c1, cm, c2 = chs[f_list[0]], args[0], args[1]
+            out_args = [c1, cm, c2, *args[2:]]
+            if m == "HGBlock":
+                out_args.insert(4, n_res)
+                n_res = 1
+        elif m == "ResNetLayer":
+            # reference tasks.py:924-925: args pass through unscaled;
+            # c2 = planes (is_first) or 4*planes (bottleneck expansion)
+            c2 = args[1] if args[3] else args[1] * 4
             out_args = list(args)
         elif m in _HEADS:
             out_args = list(args)
@@ -176,6 +214,15 @@ def parse_model(d: Dict, ch: int = 3) -> Tuple[Tuple[LayerSpec, ...], Tuple[int,
         elif m == "nn.Upsample":
             c2 = chs[f_list[0]]
             out_args = list(args)
+        elif m in ("nn.MaxPool2d", "nn.ZeroPad2d"):
+            c2 = chs[f_list[0]]
+            out_args = list(args)
+        elif m == "nn.ConvTranspose2d":
+            # width-scaled like base modules (reference tasks.py base set)
+            c1, c2 = chs[f_list[0]], args[0]
+            if c2 != nc:
+                c2 = make_divisible(min(c2, max_channels) * width, 8)
+            out_args = [c1, c2, *args[1:]]
         elif m == "Silence":
             c2 = chs[f_list[0]]
             out_args = []
@@ -242,52 +289,57 @@ def _hashable(a):
     return a
 
 
-def _wpack_prefix(specs: Tuple[LayerSpec, ...]) -> Tuple[int, Tuple[int, ...]]:
-    """Leading run of low-channel Conv/C2f layers to execute width-packed.
+def _pack_of(c2: int) -> int:
+    """Width-pack factor for a channel count: smallest P with (P*c2) % 128 == 0.
 
-    TPU tiles put channels on the 128-wide lane axis, so C=16/32/64 stem
-    activations waste 8x/4x/2x of every HBM access (profiled: ~8 ms of the
-    17 ms v10n b32 step). On the deploy serving path those layers run on a
-    (B, H, W/P, P*C) layout with P = 128/C — dense lanes — via exact
-    block-scattered kernels (modules.packed_conv). Returns (n_layers,
-    per-layer output pack factors); the prefix ends at the first unsupported
-    module, multi-input layer, or C > 64.
+    TPU tiles put channels on the 128-wide lane axis, so C<128 activations
+    waste both HBM bandwidth (tile-padded transfers) and MXU throughput
+    (kernel tiles at (C/128)^2 utilization — profiled 14% for the 48-ch v10m
+    C2f interiors). Packing P width-adjacent pixels into the channel axis
+    makes lanes dense at a P-fold kernel expansion (modules.packed_conv);
+    a win whenever c2 < 128. 0 = leave unpacked.
     """
-    n, packs = 0, []
-    p_in = 8  # input fed as (B, H, W/8, 8*3)
-    for spec in specs:
-        p_out = _wpack_out(spec, p_in)
-        if not p_out:
-            break
-        n += 1
-        packs.append(p_out)
-        p_in = p_out
-    return n, tuple(packs)
+    import math
+
+    if not isinstance(c2, int) or c2 <= 0 or c2 >= 128:
+        return 0
+    p = 128 // math.gcd(c2, 128)
+    return p if p > 1 else 0
 
 
-def _wpack_out(spec: LayerSpec, p_in: int) -> int:
-    """Output pack factor for a layer given its input pack; 0 = run unpacked.
+def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
+    """Pack plan for a layer given the arriving pack factor.
 
-    Conv: any k/s with integral packed stride (s*P_out % P_in == 0; always
-    satisfiable from an unpacked input, P_in=1). C2f: uniform pack, or
-    pack-on-entry through cv1 when the input is unpacked.
+    Returns (p_in_used, p_out), or None to run unpacked. Repacking between
+    factors is a free reshape (modules.repack_width), so an incompatible
+    arrival pack is never a blocker — the layer asks for the factor it wants.
+    Conv: direct P_in->P_out when the packed stride is integral
+    (s*P_out % P_in == 0), else repack-on-entry. C2f: uniform pack (deploy
+    rewrite only, n<=2 gate matching _build_module), pack-on-entry from
+    unpacked inputs.
     """
     if spec.module not in ("Conv", "C2f") or len(spec.f) != 1:
-        return 0
-    c2 = spec.c2
-    if not isinstance(c2, int) or c2 > 64 or 128 % c2:
-        return 0
-    p_out = 128 // c2
+        return None
+    p_out = _pack_of(spec.c2)
+    if not p_out:
+        return None
     if spec.module == "Conv":
         s = spec.args[3] if len(spec.args) > 3 else 1
-        if (s * p_out) % p_in:
-            return 0
-    else:  # C2f
-        if p_in not in (1, p_out):
-            return 0
-        if len(spec.args) > 2 and spec.args[2] > 2:
-            return 0  # must match the deploy-C2f gate in _build_module
-    return p_out
+        if len(spec.args) > 4 and spec.args[4] not in (None, "None"):
+            return None  # explicit padding: packed_conv assumes 'same'
+        if len(spec.args) > 5 and spec.args[5] != 1:
+            return None  # grouped convs not packed
+        if len(spec.args) > 6 and spec.args[6] != 1:
+            return None  # dilation not packed
+        if p_in > 1 and (s * p_out) % p_in == 0:
+            return (p_in, p_out)
+        return (p_out if p_in > 1 else 1, p_out)
+    # C2f
+    if len(spec.args) > 2 and spec.args[2] > 2:
+        return None  # must match the deploy-C2f gate in _build_module
+    if spec.c2 > 128:
+        return None
+    return (p_out if p_in > 1 else 1, p_out)
 
 
 def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
@@ -298,14 +350,23 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
         c1, c2 = a[0], a[1]
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
-        return M.ConvBN(c2, k, s, pack_in=pack_in, pack_out=pack_out, dtype=dtype, name=name)
+        p = a[4] if len(a) > 4 and a[4] not in (None, "None") else None
+        g = a[5] if len(a) > 5 else 1
+        d = a[6] if len(a) > 6 else 1
+        act = "silu" if (len(a) <= 7 or a[7] is True) else (a[7] or False)
+        return M.ConvBN(
+            c2, k, s, p=p, g=g, d=d, act=act,
+            pack_in=pack_in, pack_out=pack_out, dtype=dtype, name=name,
+        )
     if m == "DWConv":
         import math as _math
 
         c1, c2 = a[0], a[1]
         k = a[2] if len(a) > 2 else 1
         s = a[3] if len(a) > 3 else 1
-        return M.ConvBN(c2, k, s, g=_math.gcd(c1, c2), dtype=dtype, name=name)
+        d = a[4] if len(a) > 4 else 1
+        act = "silu" if (len(a) <= 5 or a[5] is True) else (a[5] or False)
+        return M.ConvBN(c2, k, s, g=_math.gcd(c1, c2), d=d, act=act, dtype=dtype, name=name)
     if m == "GhostConv":
         return M.GhostConv(a[1], a[2] if len(a) > 2 else 1, a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
     if m == "Focus":
@@ -355,6 +416,16 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
         return M.SPDConv(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
     if m == "nn.Upsample":
         return M.Upsample(scale=int(a[1]), name=name)
+    if m == "nn.MaxPool2d":
+        return M.MaxPool2d(a[0], a[1] if len(a) > 1 else a[0], a[2] if len(a) > 2 else 0, name=name)
+    if m == "nn.ZeroPad2d":
+        return M.ZeroPad2d(tuple(a[0]), name=name)
+    if m == "nn.ConvTranspose2d":
+        # raw torch ConvTranspose2d: bias, no BN, no activation
+        return M.ConvTransposeBN(
+            a[1], a[2] if len(a) > 2 else 2, a[3] if len(a) > 3 else 2,
+            a[4] if len(a) > 4 else 0, use_bn=False, act=False, dtype=dtype, name=name,
+        )
     if m == "Concat":
         return M.Concat(name=name)
     if m == "RepNCSPELAN4":
@@ -373,6 +444,51 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
         return M.C2fAttn(
             a[1], n=a[2], ec=a[3], nh=a[4] if len(a) > 4 else 1,
             gc=a[5] if len(a) > 5 else 512, dtype=dtype, name=name,
+        )
+    if m == "SPP":
+        return M.SPP(a[1], tuple(a[2]) if len(a) > 2 else (5, 9, 13), dtype=dtype, name=name)
+    if m == "C1":
+        return M.C1(a[1], n=a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
+    if m == "C2":
+        return M.C2(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
+    if m == "C3x":
+        return M.C3x(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
+    if m == "C3TR":
+        return M.C3TR(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
+    if m == "C3Ghost":
+        return M.C3Ghost(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
+    if m == "GhostBottleneck":
+        return M.GhostBottleneck(a[1], a[2] if len(a) > 2 else 3, a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
+    if m == "BottleneckCSP":
+        return M.BottleneckCSP(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
+    if m == "RepC3":
+        return M.RepC3(a[1], n=a[2], e=a[3] if len(a) > 3 else 1.0, dtype=dtype, name=name)
+    if m == "ConvTranspose":
+        return M.ConvTransposeBN(
+            a[1], a[2] if len(a) > 2 else 2, a[3] if len(a) > 3 else 2,
+            a[4] if len(a) > 4 else 0, dtype=dtype, name=name,
+        )
+    if m == "LightConv":
+        return M.LightConv(a[1], a[2] if len(a) > 2 else 1, dtype=dtype, name=name)
+    if m == "RepConv":
+        return M.RepConv(a[1], a[2] if len(a) > 2 else 3, a[3] if len(a) > 3 else 1, dtype=dtype, name=name)
+    if m == "AIFI":
+        from .transformer import AIFI as _AIFI
+
+        return _AIFI(a[0], a[1] if len(a) > 1 else 2048, a[2] if len(a) > 2 else 8, dtype=dtype, name=name)
+    if m == "HGStem":
+        return M.HGStem(a[1], a[2], dtype=dtype, name=name)
+    if m == "HGBlock":
+        return M.HGBlock(
+            a[1], a[2], k=a[3] if len(a) > 3 else 3, n=a[4] if len(a) > 4 else 6,
+            lightconv=bool(a[5]) if len(a) > 5 else False,
+            shortcut=bool(a[6]) if len(a) > 6 else False,
+            dtype=dtype, name=name,
+        )
+    if m == "ResNetLayer":
+        return M.ResNetLayer(
+            a[1], s=a[2] if len(a) > 2 else 1, is_first=bool(a[3]) if len(a) > 3 else False,
+            n=a[4] if len(a) > 4 else 1, dtype=dtype, name=name,
         )
     if m in R.ALL_RESEARCH:
         return R.build_research_module(m, a, dtype, name)
@@ -395,20 +511,25 @@ class DetectionModel(nn.Module):
     strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
     reg_max: int = 16
     deploy: bool = False  # inference-only block rewrites (same variable tree)
+    default_act: str = "silu"  # YAML `activation:` override for conv.py Convs
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False, predict_only: bool = False, text=None,
                  input_layout: str = "NHWC", dn=None):
-        if self.deploy and not training:
-            # fold BN into conv kernels inline for every ConvBN in the graph
-            # (single fusible conv+bias+act chains; see modules.DEPLOY_MATH)
-            token = M.DEPLOY_MATH.set(True)
-            try:
-                return self._run(x, training, predict_only, text, input_layout, dn)
-            finally:
-                M.DEPLOY_MATH.reset(token)
-        return self._run(x, training, predict_only, text, input_layout, dn)
+        act_token = M.DEFAULT_ACT.set(self.default_act)
+        try:
+            if self.deploy and not training:
+                # fold BN into conv kernels inline for every ConvBN in the graph
+                # (single fusible conv+bias+act chains; see modules.DEPLOY_MATH)
+                token = M.DEPLOY_MATH.set(True)
+                try:
+                    return self._run(x, training, predict_only, text, input_layout, dn)
+                finally:
+                    M.DEPLOY_MATH.reset(token)
+            return self._run(x, training, predict_only, text, input_layout, dn)
+        finally:
+            M.DEFAULT_ACT.reset(act_token)
 
     def _run(self, x, training, predict_only, text, input_layout, dn):
         y: Dict[int, jnp.ndarray] = {}
@@ -435,16 +556,27 @@ class DetectionModel(nn.Module):
             is_last = spec.i == self.specs[-1].i
 
             # greedy width-pack plan (deploy serving path): any single-input
-            # Conv/C2f with C<=64 runs packed — including mid-graph neck
-            # blocks, which pack from an unpacked input via the P_in=1
-            # packed_conv case. y[] always stores unpacked copies, so inputs
-            # read through y arrive unpacked; only the running x carries pack.
-            p_in = cur_pack if (len(spec.f) == 1 and spec.f[0] == -1) else 1
-            p_out = _wpack_out(spec, p_in) if wpack_on else 0
-            if p_out == 0 and cur_pack > 1 and -1 in spec.f:
-                x = M.unpack_width(x, cur_pack)  # this layer needs NHWC x
-                cur_pack = 1
+            # Conv/C2f with C<128 runs packed (P = 128/gcd(C,128)) — including
+            # mid-graph neck blocks, which pack from an unpacked input via the
+            # P_in=1 packed_conv case. Pack-factor changes between layers are
+            # free reshapes (repack_width). y[] always stores unpacked copies,
+            # so inputs read through y arrive unpacked; only the running x
+            # carries pack.
+            single_prev = len(spec.f) == 1 and spec.f[0] == -1
+            p_in = cur_pack if single_prev else 1
+            plan = _wpack_out(spec, p_in) if wpack_on else None
+            if plan is None:
+                p_out = 0
+                if cur_pack > 1 and -1 in spec.f:
+                    x = M.unpack_width(x, cur_pack)  # this layer needs NHWC x
+                    cur_pack = 1
                 p_in = 1
+            else:
+                p_used, p_out = plan
+                if single_prev and cur_pack > 1 and cur_pack != p_used:
+                    x = M.repack_width(x, cur_pack, p_used)
+                    cur_pack = p_used
+                p_in = p_used
 
             if spec.module == "ImagePoolingAttn":
                 # enhances the text features; x passes through untouched
@@ -590,9 +722,10 @@ class DetectionModel(nn.Module):
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, txt, training)
                 cur_pack = 1
-            elif spec.n > 1 and spec.module in R.ALL_RESEARCH:
+            elif spec.n > 1:
                 # reference stacks repeat-count copies in an nn.Sequential
                 # (tasks.py:1047); unrolled here with per-copy param scopes
+                # (plain Conv/Bottleneck repeats in v3/v6 and research blocks)
                 x = inp
                 for rep in range(spec.n):
                     x = _build_module(spec, self.dtype, f"{name}_{rep}", deploy=self.deploy)(x, training)
@@ -662,6 +795,13 @@ def build_model(
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc
     specs, save = parse_model(d, ch=ch)
-    model = DetectionModel(specs=specs, save=save, nc=d["nc"], dtype=dtype)
+    # model-wide default-activation override (reference tasks.py: the YAML
+    # `activation:` key rebinds Conv.default_act, e.g. yolov6's nn.ReLU())
+    act_map = {"nn.ReLU()": "relu", "nn.SiLU()": "silu", "nn.Mish()": "mish", "nn.GELU()": "gelu"}
+    default_act = act_map.get(str(d.get("activation", "")).strip(), "silu")
+    model = DetectionModel(specs=specs, save=save, nc=d["nc"], default_act=default_act, dtype=dtype)
     strides = _infer_strides(model, ch=ch)
-    return DetectionModel(specs=specs, save=save, nc=d["nc"], strides=strides, deploy=deploy, dtype=dtype)
+    return DetectionModel(
+        specs=specs, save=save, nc=d["nc"], strides=strides, deploy=deploy,
+        default_act=default_act, dtype=dtype,
+    )

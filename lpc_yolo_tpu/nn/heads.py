@@ -50,9 +50,13 @@ def _v8_towers(xs, nc, ch, strides, reg_max, dtype, training):
         )(b)
         c = ConvBN(c3, 3, dtype=dtype, name=f"cv3_{i}_0")(x, training)
         c = ConvBN(c3, 3, dtype=dtype, name=f"cv3_{i}_1")(c, training)
+        # strides may still be the 3-level default during the stride-probe
+        # build of a P2/P6 4-level graph; extrapolate octaves for bias init
+        # (the real build passes the probed per-level strides)
+        s_i = strides[i] if i < len(strides) else strides[-1] * 2 ** (i - len(strides) + 1)
         c = nn.Conv(
             nc, (1, 1), use_bias=True, kernel_init=kaiming_uniform(),
-            bias_init=_cls_bias_init(nc, strides[i]), dtype=dtype, name=f"cv3_{i}_2",
+            bias_init=_cls_bias_init(nc, s_i), dtype=dtype, name=f"cv3_{i}_2",
         )(c)
         outs.append(jnp.concatenate([b, c], axis=-1))
     return tuple(outs)

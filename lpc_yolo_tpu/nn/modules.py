@@ -38,6 +38,8 @@ from flax import linen as nn
 # epilogue — profiled cost: a layout round-trip copy pair per stem conv
 # (~3.4 ms of pure copies on v10n b32).
 DEPLOY_MATH = contextvars.ContextVar("lpc_deploy_math", default=False)
+# Model-wide default activation for conv.py-family Convs (YAML `activation:` key)
+DEFAULT_ACT = contextvars.ContextVar("lpc_default_act", default="silu")
 
 # Matches reference initialize_weights (torch_utils.py:342-352): BN eps=1e-3,
 # momentum=0.03 (flax momentum = 1 - torch momentum).
@@ -91,22 +93,23 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        pad = autopad(self.k, self.p, self.d)
+        kh, kw = (self.k, self.k) if isinstance(self.k, int) else tuple(self.k)
+        ph, pw = autopad(kh, self.p, self.d), autopad(kw, self.p, self.d)
         if not training and DEPLOY_MATH.get():
             packed = self.pack_in > 1 or self.pack_out > 1
             cin = x.shape[-1]
             if packed:
                 cin = cin // self.pack_in
-            w = _Kernel((self.k, self.k, cin // self.g, self.c2), name="conv")()
+            w = _Kernel((kh, kw, cin // self.g, self.c2), name="conv")()
             scale, bias, mean, var = _BN(self.c2, name="bn")()
             f = scale * jax.lax.rsqrt(var + BN_EPS)
             W = (w * f).astype(self.dtype)
             b = (bias - mean * f).astype(self.dtype)
             if packed:
-                assert self.g == 1 and self.d == 1
+                assert self.g == 1 and self.d == 1 and kh == kw
                 return packed_conv(x, W, self.s, self.pack_in, self.pack_out, b=b, act=self.act)
             y = jax.lax.conv_general_dilated(
-                x, W, (self.s, self.s), [(pad, pad), (pad, pad)],
+                x, jax.lax.optimization_barrier(W), (self.s, self.s), [(ph, ph), (pw, pw)],
                 rhs_dilation=(self.d, self.d),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=self.g,
@@ -114,9 +117,9 @@ class ConvBN(nn.Module):
             return apply_act(y + b, self.act)
         x = nn.Conv(
             self.c2,
-            (self.k, self.k),
+            (kh, kw),
             strides=(self.s, self.s),
-            padding=[(pad, pad), (pad, pad)],
+            padding=[(ph, ph), (pw, pw)],
             feature_group_count=self.g,
             kernel_dilation=(self.d, self.d),
             use_bias=False,
@@ -141,9 +144,20 @@ def mish(x):
 
 def apply_act(x, act):
     if act in (True, "silu"):
+        # conv.py-family default activation: overridable by the model YAML's
+        # `activation:` key (reference tasks.py sets Conv.default_act), e.g.
+        # yolov6's nn.ReLU(). block.py-family modules pass "mish" explicitly
+        # (the fork's Conv shadow) and are unaffected — same as the reference.
+        act = DEFAULT_ACT.get()
+        if act == "relu":
+            return nn.relu(x)
         return nn.silu(x)
     if act == "mish":
         return mish(x)
+    if act == "relu":
+        return nn.relu(x)
+    if act == "gelu":
+        return nn.gelu(x)
     return x
 
 
@@ -294,8 +308,10 @@ class C2f(nn.Module):
             if self.pack > 1:
                 p_in = self.pack_in if first else self.pack
                 return packed_conv(t, w.astype(dt), 1, p_in, self.pack)
+            # barrier: keep the kernel-algebra (pad/sum/concat of folded
+            # kernels) from fusing into the conv and recomputing per tile
             return jax.lax.conv_general_dilated(
-                t, w.astype(dt), (1, 1), [(p, p), (p, p)],
+                t, jax.lax.optimization_barrier(w.astype(dt)), (1, 1), [(p, p), (p, p)],
                 dimension_numbers=layout,
             )
 
@@ -775,13 +791,14 @@ class GhostConv(nn.Module):
     c2: int
     k: int = 1
     s: int = 1
+    act: Any = "silu"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         c_ = self.c2 // 2
-        y = ConvBN(c_, self.k, self.s, dtype=self.dtype, name="cv1")(x, training)
-        y2 = ConvBN(c_, 5, 1, g=c_, dtype=self.dtype, name="cv2")(y, training)
+        y = ConvBN(c_, self.k, self.s, act=self.act, dtype=self.dtype, name="cv1")(x, training)
+        y2 = ConvBN(c_, 5, 1, g=c_, act=self.act, dtype=self.dtype, name="cv2")(y, training)
         return jnp.concatenate([y, y2], axis=-1)
 
 
@@ -1143,6 +1160,20 @@ def unpack_width(x, P: int):
     return x.reshape(b, h, wp * P, pc // P)
 
 
+def repack_width(x, P_from: int, P_to: int):
+    """Change pack factor: (B, H, W/Pf, Pf*C) -> (B, H, W/Pt, Pt*C).
+
+    The flattened element order of a width-packed buffer is P-invariant
+    (w-major, channel-minor for every P), so this is a FREE reshape — no data
+    movement, any Pf -> Pt.
+    """
+    if P_from == P_to:
+        return x
+    b, h, wp, pc = x.shape
+    c = pc // P_from
+    return x.reshape(b, h, wp * P_from // P_to, P_to * c)
+
+
 def pack_conv_kernel(w, P_in: int, P_out: int, s: int):
     """Rewrite an HWIO kernel for width-packed operands.
 
@@ -1177,6 +1208,11 @@ def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):
     kh = w.shape[0]
     ph = kh // 2
     Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s)
+    # materialize the scattered kernel ONCE: without the barrier XLA fuses the
+    # dynamic-update-slice chain into the conv fusion and recomputes the
+    # kernel construction per output tile (profiled: 2.2 ms for a 1x1 packed
+    # conv whose MXU+HBM cost is ~0.4 ms)
+    Wp = jax.lax.optimization_barrier(Wp)
     wip = x.shape[2]
     wpo = wip * P_in // (s * P_out)
     padR = sp * (wpo - 1) + kwp - wip - padL
@@ -1190,3 +1226,399 @@ def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):
     if act is not None:
         y = apply_act(y, act)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Legacy CSP zoo (v3/v5/v6-era), HGNetv2, and ResNet graph modules.
+# Behavioral specs: reference nn/modules/block.py:84-382 and conv.py:83-135.
+# All NHWC flax, same variable naming as their ConvBN peers so fuse_conv_bn
+# and the deploy inline fold apply unchanged.
+# ---------------------------------------------------------------------------
+
+
+class SPP(nn.Module):
+    """Spatial pyramid pooling with parallel maxpools (reference block.py:139).
+
+    On TPU each stride-1 maxpool is a VPU reduce_window; XLA fuses the concat
+    into the following 1x1 conv's operand read.
+    """
+
+    c2: int
+    k: Tuple[int, ...] = (5, 9, 13)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = x.shape[-1] // 2
+        x = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        ys = [x]
+        for k in self.k:
+            p = k // 2
+            ys.append(nn.max_pool(x, (k, k), strides=(1, 1), padding=[(p, p), (p, p)]))
+        return ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv2")(
+            jnp.concatenate(ys, axis=-1), training
+        )
+
+
+class C1(nn.Module):
+    """CSP bottleneck with 1 conv (reference block.py:179)."""
+
+    c2: int
+    n: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        m = y
+        for i in range(self.n):
+            m = ConvBN(self.c2, 3, act="mish", dtype=self.dtype, name=f"m_{i}")(m, training)
+        return m + y
+
+
+class C2(nn.Module):
+    """CSP bottleneck with 2 convs (reference block.py:194)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c = int(self.c2 * self.e)
+        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(
+            jnp.concatenate([a, b], axis=-1), training
+        )
+
+
+class C3x(nn.Module):
+    """C3 with cross-convolutions: bottleneck kernels (1x3)->(3x1)
+    (reference block.py:257)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        for i in range(self.n):
+            a = Bottleneck(
+                c_, self.shortcut, self.g, k=((1, 3), (3, 1)), e=1.0, dtype=self.dtype, name=f"m_{i}"
+            )(a, training)
+        b = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), training
+        )
+
+
+class GhostBottleneck(nn.Module):
+    """Ghost bottleneck: pw GhostConv -> (dw if s=2) -> linear GhostConv,
+    with a dw+pw shortcut at stride 2 (reference block.py:304)."""
+
+    c2: int
+    k: int = 3
+    s: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c1 = x.shape[-1]
+        c_ = self.c2 // 2
+        y = GhostConv(c_, 1, 1, dtype=self.dtype, name="conv_0")(x, training)
+        if self.s == 2:
+            import math as _math
+
+            y = ConvBN(c_, self.k, 2, g=_math.gcd(c_, c_), act=False, dtype=self.dtype, name="conv_1")(y, training)
+        y = GhostConv(self.c2, 1, 1, act=False, dtype=self.dtype, name="conv_2")(y, training)
+        if self.s == 2:
+            import math as _math
+
+            sc = ConvBN(c1, self.k, 2, g=c1, act=False, dtype=self.dtype, name="shortcut_0")(x, training)
+            sc = ConvBN(self.c2, 1, 1, act=False, dtype=self.dtype, name="shortcut_1")(sc, training)
+        else:
+            sc = x
+        return y + sc
+
+
+class C3Ghost(nn.Module):
+    """C3 with GhostBottleneck blocks (reference block.py:294)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        for i in range(self.n):
+            a = GhostBottleneck(c_, dtype=self.dtype, name=f"m_{i}")(a, training)
+        b = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), training
+        )
+
+
+class BottleneckCSP(nn.Module):
+    """Original CSPNet bottleneck: two raw (bias-free, BN-less) side convs and
+    one shared BN over the concat (reference block.py:343)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, self.g, k=(3, 3), e=1.0, dtype=self.dtype, name=f"m_{i}")(a, training)
+        y1 = nn.Conv(
+            c_, (1, 1), use_bias=False, kernel_init=kaiming_uniform(), dtype=self.dtype, name="cv3"
+        )(a)
+        y2 = nn.Conv(
+            c_, (1, 1), use_bias=False, kernel_init=kaiming_uniform(), dtype=self.dtype, name="cv2"
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not training, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            dtype=self.dtype, name="bn",
+        )(jnp.concatenate([y1, y2], axis=-1))
+        return ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv4")(nn.silu(y), training)
+
+
+class RepC3(nn.Module):
+    """RT-DETR neck CSP block with RepConv bottlenecks (reference block.py:267)."""
+
+    c2: int
+    n: int = 3
+    e: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        for i in range(self.n):
+            a = RepConv(c_, use_identity=False, dtype=self.dtype, name=f"m_{i}")(a, training)
+        b = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        y = a + b
+        if c_ != self.c2:
+            y = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv3")(y, training)
+        return y
+
+
+class LightConv(nn.Module):
+    """1x1 linear conv + depthwise k conv (reference conv.py:83)."""
+
+    c2: int
+    k: int = 1
+    act: Any = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        y = ConvBN(self.c2, 1, act=False, dtype=self.dtype, name="conv1")(x, training)
+        return ConvBN(self.c2, self.k, g=self.c2, act=self.act, dtype=self.dtype, name="conv2")(y, training)
+
+
+class HGStem(nn.Module):
+    """PPHGNetV2 stem: 5 convs + one stride-1 maxpool branch
+    (reference block.py:84-113). The odd-size pads replicate torch's
+    F.pad([0,1,0,1]) + ceil_mode pooling exactly."""
+
+    cm: int
+    c2: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = ConvBN(self.cm, 3, 2, act="mish", dtype=self.dtype, name="stem1")(x, training)
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBN(self.cm // 2, 2, 1, p=0, act="mish", dtype=self.dtype, name="stem2a")(x, training)
+        x2 = jnp.pad(x2, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        x2 = ConvBN(self.cm, 2, 1, p=0, act="mish", dtype=self.dtype, name="stem2b")(x2, training)
+        # MaxPool2d(k=2, s=1, ceil_mode=True): at stride 1 the output size
+        # (H-k)/1 is always integral, so ceil mode adds nothing — plain
+        # valid pooling matches torch exactly
+        neg = jnp.finfo(jnp.float32).min if x.dtype != jnp.bfloat16 else jnp.finfo(jnp.bfloat16).min
+        x1 = jax.lax.reduce_window(
+            x, jnp.array(neg, x.dtype), jax.lax.max,
+            (1, 2, 2, 1), (1, 1, 1, 1), [(0, 0), (0, 0), (0, 0), (0, 0)],
+        )
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = ConvBN(self.cm, 3, 2, act="mish", dtype=self.dtype, name="stem3")(x, training)
+        return ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="stem4")(x, training)
+
+
+class HGBlock(nn.Module):
+    """PPHGNetV2 block: n chained (Light)Convs, concat all taps, then
+    squeeze/excitation 1x1 convs (reference block.py:115-137)."""
+
+    cm: int
+    c2: int
+    k: int = 3
+    n: int = 6
+    lightconv: bool = False
+    shortcut: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        ys = [x]
+        for i in range(self.n):
+            if self.lightconv:
+                ys.append(LightConv(self.cm, self.k, dtype=self.dtype, name=f"m_{i}")(ys[-1], training))
+            else:
+                ys.append(ConvBN(self.cm, self.k, act="mish", dtype=self.dtype, name=f"m_{i}")(ys[-1], training))
+        y = ConvBN(self.c2 // 2, 1, 1, act="mish", dtype=self.dtype, name="sc")(
+            jnp.concatenate(ys, axis=-1), training
+        )
+        y = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="ec")(y, training)
+        if self.shortcut and x.shape[-1] == self.c2:
+            return y + x
+        return y
+
+
+class ResNetBlock(nn.Module):
+    """Standard bottleneck ResNet block (reference block.py:367)."""
+
+    c2: int
+    s: int = 1
+    e: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        c3 = self.e * self.c2
+        y = ConvBN(self.c2, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        y = ConvBN(self.c2, 3, self.s, p=1, act="mish", dtype=self.dtype, name="cv2")(y, training)
+        y = ConvBN(c3, 1, act=False, dtype=self.dtype, name="cv3")(y, training)
+        if self.s != 1 or x.shape[-1] != c3:
+            sc = ConvBN(c3, 1, self.s, act=False, dtype=self.dtype, name="shortcut_0")(x, training)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+class ResNetLayer(nn.Module):
+    """ResNet stage (reference block.py:382): is_first -> 7x7/2 conv +
+    3x3/2 maxpool; else n bottleneck blocks."""
+
+    c2: int
+    s: int = 1
+    is_first: bool = False
+    n: int = 1
+    e: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if self.is_first:
+            x = ConvBN(self.c2, 7, 2, p=3, act="mish", dtype=self.dtype, name="layer_0")(x, training)
+            neg = jnp.finfo(jnp.float32).min if x.dtype != jnp.bfloat16 else jnp.finfo(jnp.bfloat16).min
+            return jax.lax.reduce_window(
+                x, jnp.array(neg, x.dtype), jax.lax.max,
+                (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)],
+            )
+        x = ResNetBlock(self.c2, self.s, e=self.e, dtype=self.dtype, name="layer_0")(x, training)
+        for i in range(1, self.n):
+            x = ResNetBlock(self.c2, 1, e=self.e, dtype=self.dtype, name=f"layer_{i}")(x, training)
+        return x
+
+
+class ConvTransposeBN(nn.Module):
+    """ConvTranspose2d + BN + SiLU (reference conv.py:117-135)."""
+
+    c2: int
+    k: int = 2
+    s: int = 2
+    p: int = 0
+    use_bn: bool = True
+    act: Any = "silu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        # torch ConvTranspose2d(p) == lax.conv_transpose dilated-input padding
+        # of (k-1-p) per side: out = (H-1)*s - 2p + k
+        pp = self.k - 1 - self.p
+        x = nn.ConvTranspose(
+            self.c2, (self.k, self.k), strides=(self.s, self.s),
+            padding=[(pp, pp), (pp, pp)],
+            use_bias=not self.use_bn, transpose_kernel=True,
+            kernel_init=kaiming_uniform(), dtype=self.dtype, name="conv_transpose",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not training, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                dtype=self.dtype, name="bn",
+            )(x)
+        return apply_act(x, self.act)
+
+
+class C3TR(nn.Module):
+    """C3 with a TransformerBlock bottleneck (reference block.py:270)."""
+
+    c2: int
+    n: int = 1
+    shortcut: bool = True
+    g: int = 1
+    e: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        from .transformer import TransformerBlock
+
+        c_ = int(self.c2 * self.e)
+        a = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        a = TransformerBlock(c_, 4, self.n, dtype=self.dtype, name="m")(a, training)
+        b = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv2")(x, training)
+        return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv3")(
+            jnp.concatenate([a, b], axis=-1), training
+        )
+
+
+class MaxPool2d(nn.Module):
+    """torch nn.MaxPool2d(k, s, p) equivalent (v3-tiny graph layers)."""
+
+    k: int
+    s: int
+    p: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return nn.max_pool(
+            x, (self.k, self.k), strides=(self.s, self.s),
+            padding=[(self.p, self.p), (self.p, self.p)],
+        )
+
+
+class ZeroPad2d(nn.Module):
+    """torch nn.ZeroPad2d([l, r, t, b]) equivalent (NHWC)."""
+
+    pads: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        l, r, t, b = self.pads
+        return jnp.pad(x, ((0, 0), (t, b), (l, r), (0, 0)))

@@ -311,3 +311,117 @@ class RTDETRDecoder(nn.Module):
             }
         # eval: (B, nq, 4+nc) with sigmoid class scores (head.py:393-395)
         return jnp.concatenate([dec_bboxes[-1], jax.nn.sigmoid(dec_scores[-1])], axis=-1)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm transformer encoder layer (reference transformer.py:28-86).
+
+    MultiheadAttention maps to flax MHDPA (same param count: fused qkv+out
+    projections with biases); dropout is identity at inference. Runs on
+    (B, N, C) sequences; the N=400 stride-32 map rides the MXU as one matmul.
+    """
+
+    c: int
+    cm: int = 2048
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos=None):
+        q = k = x if pos is None else x + pos
+        a = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.c, out_features=self.c,
+            dtype=self.dtype, name="ma",
+        )(q, k, x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + a)
+        y = nn.Dense(self.cm, dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(self.c, dtype=self.dtype, name="fc2")(nn.gelu(y, approximate=False))
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+
+
+def sincos_2d_pos_embed(w: int, h: int, dim: int, temperature: float = 10000.0):
+    """2D sin-cos position embedding, replicating the reference construction
+    (transformer.py:104-118) EXACTLY — including its meshgrid('ij') flatten
+    order, which iterates h fastest while the features flatten w fastest.
+    Parity with torch requires reproducing that transposed order, not fixing it.
+    """
+    assert dim % 4 == 0
+    grid_w, grid_h = jnp.meshgrid(
+        jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32), indexing="ij"
+    )
+    pos_dim = dim // 4
+    omega = 1.0 / (temperature ** (jnp.arange(pos_dim, dtype=jnp.float32) / pos_dim))
+    out_w = grid_w.reshape(-1)[:, None] * omega[None]
+    out_h = grid_h.reshape(-1)[:, None] * omega[None]
+    return jnp.concatenate(
+        [jnp.sin(out_w), jnp.cos(out_w), jnp.sin(out_h), jnp.cos(out_h)], axis=1
+    )[None]
+
+
+class AIFI(nn.Module):
+    """Attention-based Intra-scale Feature Interaction (reference
+    transformer.py:86-118): flatten the stride-32 map, add 2D sin-cos pos
+    embed, run one TransformerEncoderLayer, restore the spatial map.
+    NHWC input (B, H, W, C)."""
+
+    c: int
+    cm: int = 1024
+    num_heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        b, h, w, c = x.shape
+        pos = sincos_2d_pos_embed(w, h, c).astype(x.dtype)
+        y = x.reshape(b, h * w, c)
+        y = TransformerEncoderLayer(
+            c, self.cm, self.num_heads, dtype=self.dtype, name="enc"
+        )(y, pos=pos)
+        return y.reshape(b, h, w, c)
+
+
+class TransformerLayer(nn.Module):
+    """LayerNorm-free ViT layer (reference transformer.py:121-133): extra
+    bias-free q/k/v projections feeding a standard MHA, then 2 linear FFN
+    with residuals."""
+
+    c: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        q = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="q")(x)
+        k = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="k")(x)
+        v = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="v")(x)
+        a = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.c, out_features=self.c,
+            dtype=self.dtype, name="ma",
+        )(q, k, v)
+        x = a + x
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc1")(x)
+        y = nn.Dense(self.c, use_bias=False, dtype=self.dtype, name="fc2")(y)
+        return y + x
+
+
+class TransformerBlock(nn.Module):
+    """ViT block over a conv map (reference transformer.py:136-155): optional
+    input conv, learned linear position embedding, n TransformerLayers."""
+
+    c2: int
+    num_heads: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        from .modules import ConvBN
+
+        b, h, w, c = x.shape
+        if c != self.c2:
+            x = ConvBN(self.c2, 1, 1, act="silu", dtype=self.dtype, name="conv")(x, training)
+        p = x.reshape(b, h * w, self.c2)
+        p = p + nn.Dense(self.c2, dtype=self.dtype, name="linear")(p)
+        for i in range(self.num_layers):
+            p = TransformerLayer(self.c2, self.num_heads, dtype=self.dtype, name=f"tr_{i}")(p)
+        return p.reshape(b, h, w, self.c2)

@@ -198,3 +198,11 @@ def clip_boxes(boxes, shape):
     y = jnp.clip(boxes[..., 1::2], 0, shape[0])
     out = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
     return out
+
+
+def rbox_hull(rbox: jnp.ndarray) -> jnp.ndarray:
+    """Axis-aligned hull (..., 4) xyxy of rotated boxes (..., 5) xywhr."""
+    pts = xywhr2xyxyxyxy(rbox)  # (..., 4, 2)
+    lo = jnp.min(pts, axis=-2)
+    hi = jnp.max(pts, axis=-2)
+    return jnp.concatenate([lo, hi], axis=-1)

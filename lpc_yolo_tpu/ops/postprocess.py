@@ -179,3 +179,78 @@ def non_max_suppression(
         out_anchor = jnp.where(keep_valid, jnp.take_along_axis(anchor, safe_idx, axis=1), 0)
         return out, out_anchor.astype(jnp.int32)
     return out
+
+
+def nms_rotated(
+    rboxes: jnp.ndarray,
+    scores_all: jnp.ndarray,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    agnostic: bool = False,
+    max_wh: float = 7680.0,
+    return_anchor_idx: bool = False,
+):
+    """Static-shape rotated fast-NMS via pairwise probIoU.
+
+    Mirrors reference ops.nms_rotated (utils/ops.py:143-161) and the
+    rotated=True branch of ops.non_max_suppression (class offset applied to
+    the box CENTERS, ops.py:279): candidates are score-sorted, the upper
+    triangle of the pairwise probIoU matrix is max-reduced per column, and a
+    box survives iff no higher-scoring box overlaps it above iou_thres
+    ("fast-NMS" — one pass, no sequential suppression chain).
+
+    TPU notes: the (k, k) probIoU matrix is pure VPU elementwise math and
+    vmaps over the batch; k = pre_topk keeps shapes static (scores are
+    globally top-k sorted first, so only the lowest-scoring tail is dropped).
+
+    Args:
+        rboxes: (B, A, 5) = [cx, cy, w, h, angle].
+        scores_all: (B, A, nc) per-class scores (post-sigmoid).
+
+    Returns:
+        (B, max_det, 7) = [cx, cy, w, h, angle, score, label]; invalid rows
+        are all 0 with label -1. With return_anchor_idx, also (B, max_det)
+        source anchor indices.
+    """
+    from .boxes import probiou
+
+    B, A, nc = scores_all.shape
+    scores_best = jnp.max(scores_all, axis=-1)
+    labels_best = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+    k = min(pre_topk, A)
+    scores, anchor = jax.lax.top_k(scores_best, k)  # sorted desc
+    labels = jnp.take_along_axis(labels_best, anchor, axis=1)
+    cand = jnp.take_along_axis(rboxes, anchor[..., None], axis=1)  # (B, k, 5)
+    valid = scores > conf_thres
+
+    offset = jnp.where(agnostic, 0.0, 1.0) * labels.astype(cand.dtype)[..., None] * max_wh
+    off = jnp.concatenate([cand[..., :2] + offset, cand[..., 2:]], axis=-1)
+
+    def one(rb, vl):
+        iou = probiou(rb[:, None, :], rb[None, :, :])  # (k, k)
+        both = vl[:, None] & vl[None, :]
+        tri = jnp.triu(jnp.where(both, iou, 0.0), k=1)
+        return (jnp.max(tri, axis=0) < iou_thres) & vl
+
+    keep = jax.vmap(one)(off, valid)  # (B, k)
+
+    sel_scores = jnp.where(keep, scores, -1.0)
+    out_scores, kidx = jax.lax.top_k(sel_scores, max_det)
+    ok = out_scores > 0
+    out_boxes = jnp.take_along_axis(cand, kidx[..., None], axis=1)
+    out_labels = jnp.take_along_axis(labels, kidx, axis=1)
+    out_anchor = jnp.take_along_axis(anchor, kidx, axis=1)
+
+    det = jnp.concatenate(
+        [
+            jnp.where(ok[..., None], out_boxes, 0.0),
+            jnp.where(ok, out_scores, 0.0)[..., None],
+            jnp.where(ok, out_labels, -1)[..., None].astype(out_boxes.dtype),
+        ],
+        axis=-1,
+    )
+    if return_anchor_idx:
+        return det, jnp.where(ok, out_anchor, 0)
+    return det
