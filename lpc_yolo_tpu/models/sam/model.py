@@ -102,11 +102,18 @@ class SAM:
         canvas[:nh, :nw] = im[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB [0,1]
         return canvas, r, (h0, w0)
 
+    @staticmethod
+    def _fingerprint(img: np.ndarray):
+        """Cheap content fingerprint so repeated predicts on the same frame
+        reuse the cached embedding (reference Predictor.set_image caching)."""
+        return (img.shape, bytes(img[:: max(1, img.shape[0] // 8), :: max(1, img.shape[1] // 8)].tobytes()[:4096]))
+
     def set_image(self, img_bgr: np.ndarray):
         """Cache image embeddings for repeated prompting (predict.py:401-424)."""
         canvas, r, (h0, w0) = self._prep(img_bgr)
         self._emb = self._encode(self.variables, jnp.asarray(canvas[None]))
         self._img_meta = (r, h0, w0)
+        self._img_fp = self._fingerprint(img_bgr)
 
     def reset_image(self):
         self._emb = None
@@ -158,7 +165,7 @@ class SAM:
         else:
             img = np.asarray(source)
             path = "array"
-        if self._emb is None or self._img_meta is None:
+        if self._emb is None or getattr(self, "_img_fp", None) != self._fingerprint(img):
             self.set_image(img)
         r, h0, w0 = self._img_meta
         p, l = self._prompts_to_arrays(points, labels, bboxes, r)
@@ -193,7 +200,149 @@ class SAM:
             boxes=np.array(rows, np.float32),
             masks=out_masks.astype(np.float32),
         )
-        self.reset_image()
+        return [res]
+
+    def generate(
+        self,
+        source,
+        points_per_side: int = 32,
+        points_per_batch: int = 64,
+        pred_iou_thresh: float = 0.88,
+        stability_score_thresh: float = 0.95,
+        stability_score_offset: float = 1.0,
+        mask_threshold: float = 0.0,
+        crop_n_layers: int = 0,
+        crop_overlap_ratio: float = 512 / 1500,
+        crop_points_downscale_factor: int = 1,
+        box_nms_thresh: float = 0.7,
+        crop_nms_thresh: float = 0.7,
+    ):
+        """Segment-everything mode (reference models/sam/predict.py:210-330).
+
+        Prompts a points_per_side^2 grid over each crop layer, decodes in
+        static-shape chunks of points_per_batch (one compile, reused), filters
+        by predicted IoU and stability score (amg.calculate_stability_score),
+        dedups per crop with greedy box NMS, uncrops, and dedups across crops.
+        Returns a one-element list of Results whose masks cover the image.
+        """
+        import cv2
+
+        from ...engine.results import Results
+        from .amg import (
+            batched_mask_to_box,
+            build_all_layer_point_grids,
+            calculate_stability_score,
+            generate_crop_boxes,
+            greedy_nms,
+            uncrop_boxes_xyxy,
+        )
+
+        if isinstance(source, str):
+            img = cv2.imread(str(source))
+            path = str(source)
+        else:
+            img = np.asarray(source)
+            path = "array"
+        h0, w0 = img.shape[:2]
+        crop_boxes, layer_idxs = generate_crop_boxes((h0, w0), crop_n_layers, crop_overlap_ratio)
+        grids = build_all_layer_point_grids(
+            points_per_side, crop_n_layers, crop_points_downscale_factor
+        )
+
+        if not hasattr(self, "_decode_chunk"):
+            net = self.net
+
+            def _chunk(v, emb, p, l):
+                embs = jnp.broadcast_to(emb, (p.shape[0],) + emb.shape[1:])
+                return net.apply(v, embs, p, l, method=MobileSam.decode)
+
+            self._decode_chunk = jax.jit(_chunk)
+
+        kept_boxes, kept_scores, kept_lr, kept_meta = [], [], [], []
+        for crop_box, layer in zip(crop_boxes, layer_idxs):
+            x0, y0, x1, y1 = crop_box
+            crop = img[y0:y1, x0:x1]
+            canvas, r, (ch, cw) = self._prep(crop)
+            emb = self._encode(self.variables, jnp.asarray(canvas[None]))
+            # grid points in crop pixels -> model (1024) frame
+            pts_img = grids[layer] * np.array([cw, ch], np.float32)
+            pts_model = pts_img * r
+            n = len(pts_model)
+            c_boxes, c_scores, c_lr = [], [], []
+            for i0 in range(0, n, points_per_batch):
+                chunk = pts_model[i0 : i0 + points_per_batch]
+                B = points_per_batch
+                p = np.zeros((B, 2, 2), np.float32)  # point + torch pad point
+                l = -np.ones((B, 2), np.int32)
+                p[: len(chunk), 0] = chunk
+                l[: len(chunk), 0] = 1
+                masks_lr, iou = self._decode_chunk(
+                    self.variables, emb, jnp.asarray(p), jnp.asarray(l)
+                )
+                masks_lr = np.asarray(masks_lr)[: len(chunk), 1:4]  # multimask slice
+                iou = np.asarray(iou)[: len(chunk), 1:4]
+                m = masks_lr.reshape(-1, masks_lr.shape[-2], masks_lr.shape[-1])
+                s = iou.reshape(-1)
+                good = s > pred_iou_thresh
+                if not good.any():
+                    continue
+                m, s = m[good], s[good]
+                stab = calculate_stability_score(m, mask_threshold, stability_score_offset)
+                good = stab >= stability_score_thresh
+                if not good.any():
+                    continue
+                m, s = m[good], s[good]
+                mb = m > mask_threshold
+                boxes_lr = batched_mask_to_box(mb)  # 256-frame
+                nonempty = (boxes_lr[:, 2] > boxes_lr[:, 0]) & (boxes_lr[:, 3] > boxes_lr[:, 1])
+                if not nonempty.any():
+                    continue
+                # 256 logit frame -> 1024 model frame -> crop pixels
+                scale = (IMG_SIZE / m.shape[-1]) / r
+                c_boxes.append(boxes_lr[nonempty] * scale)
+                c_scores.append(s[nonempty])
+                c_lr.append(mb[nonempty])
+            if not c_boxes:
+                continue
+            c_boxes = np.concatenate(c_boxes)
+            c_scores = np.concatenate(c_scores)
+            c_lr = np.concatenate(c_lr)
+            keep = greedy_nms(c_boxes, c_scores, box_nms_thresh)
+            for i in keep:
+                kept_boxes.append(uncrop_boxes_xyxy(c_boxes[i], crop_box))
+                kept_scores.append(c_scores[i])
+                kept_lr.append(c_lr[i])
+                kept_meta.append((crop_box, r, ch, cw))
+
+        if not kept_boxes:
+            return [Results(orig_img=img, path=path, names={0: "object"},
+                            boxes=np.zeros((0, 6), np.float32),
+                            masks=np.zeros((0, h0, w0), np.float32))]
+
+        kept_boxes = np.stack(kept_boxes)
+        kept_scores = np.asarray(kept_scores)
+        if len(crop_boxes) > 1:
+            keep = greedy_nms(kept_boxes, kept_scores, crop_nms_thresh)
+        else:
+            keep = np.arange(len(kept_boxes))
+
+        out_masks, rows = [], []
+        for i in keep:
+            (cb, r, ch, cw), mlr = kept_meta[i], kept_lr[i]
+            nh, nw = round(ch * r), round(cw * r)
+            up = cv2.resize(mlr.astype(np.float32), (IMG_SIZE, IMG_SIZE), interpolation=cv2.INTER_LINEAR)
+            up = up[:nh, :nw]
+            up = cv2.resize(up, (cw, ch), interpolation=cv2.INTER_LINEAR) > 0.5
+            full = np.zeros((h0, w0), bool)
+            full[cb[1] : cb[1] + ch, cb[0] : cb[0] + cw] = up
+            out_masks.append(full)
+            b = kept_boxes[i]
+            rows.append([b[0], b[1], b[2], b[3], float(kept_scores[i]), 0])
+        res = Results(
+            orig_img=img, path=path, names={0: "object"},
+            boxes=np.array(rows, np.float32),
+            masks=np.stack(out_masks).astype(np.float32),
+        )
         return [res]
 
     def __call__(self, source, **kw):

@@ -632,8 +632,13 @@ class DetectionModel(nn.Module):
                     out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
                     return out
                 elif spec.module == "RTDETRDecoder":
+                    # optional YAML args after nc mirror the reference ctor
+                    # order (head.py:285): hd, nq, ndp, nh, ndl, d_ffn
+                    extra = dict(
+                        zip(("hd", "nq", "ndp", "nh", "ndl", "d_ffn"), spec.args[1:-1])
+                    )
                     head = RTDETRDecoder(
-                        nc=self.nc, ch=spec.args[-1], dtype=self.dtype, name=name,
+                        nc=self.nc, ch=spec.args[-1], dtype=self.dtype, name=name, **extra,
                     )
                     out = head(xs, training, dn=dn)
                     if training:

@@ -62,6 +62,7 @@ def ported(torch_sam):
     return net, variables
 
 
+@pytest.mark.slow  # full 1024x1024 TinyViT forward in BOTH torch and jax: ~5 min on the 1-vCPU runner
 @pytest.mark.skipif(not HAS_REF, reason="torch reference not mounted")
 def test_image_encoder_forward_parity(torch_sam, ported):
     import torch
@@ -113,14 +114,81 @@ def test_prompt_and_decoder_forward_parity(torch_sam, ported):
     np.testing.assert_allclose(masks_j, masks_t.numpy(), atol=2e-3, rtol=1e-2)
 
 
-def test_sam_facade_point_and_box_prompts(tmp_path):
+@pytest.fixture(scope="module")
+def sam_facade():
+    return SAM("mobile_sam")
+
+
+def test_sam_facade_point_and_box_prompts(sam_facade, tmp_path):
     import cv2
 
     img = np.full((120, 160, 3), 40, np.uint8)
     cv2.circle(img, (80, 60), 30, (220, 220, 220), -1)
-    sam = SAM("mobile_sam")
+    sam = sam_facade
     res = sam.predict(img, points=[[80, 60]])
     assert len(res) == 1 and res[0].masks is not None
     assert res[0].masks.shape[1:] == (120, 160)
     res2 = sam.predict(img, bboxes=[[40, 25, 115, 95]])
     assert res2[0].masks is not None
+
+
+
+def test_amg_helpers():
+    from lpc_yolo_tpu.models.sam.amg import (
+        batched_mask_to_box,
+        build_all_layer_point_grids,
+        build_point_grid,
+        calculate_stability_score,
+        generate_crop_boxes,
+        greedy_nms,
+    )
+
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert abs(g[0, 0] - 1 / 8) < 1e-6 and abs(g[-1, 1] - 7 / 8) < 1e-6
+
+    grids = build_all_layer_point_grids(8, 1, 2)
+    assert len(grids) == 2 and len(grids[1]) == 16  # 8/2 per side
+
+    cbs, layers = generate_crop_boxes((100, 200), 1, 0.2)
+    assert cbs[0] == [0, 0, 200, 100] and layers[0] == 0
+    assert len(cbs) == 1 + 4 and set(layers[1:]) == {1}
+    for x0, y0, x1, y1 in cbs[1:]:
+        assert 0 <= x0 < x1 <= 200 and 0 <= y0 < y1 <= 100
+
+    logits = np.full((2, 8, 8), -5.0, np.float32)
+    logits[0, 2:6, 2:6] = 5.0  # sharp mask: stable
+    logits[1] = np.linspace(-1, 1, 64, dtype=np.float32).reshape(8, 8)  # soft: unstable
+    st = calculate_stability_score(logits, 0.0, 1.0)
+    assert st[0] == 1.0 and st[1] < 0.9
+
+    m = np.zeros((1, 8, 8), bool)
+    m[0, 2:5, 3:7] = True
+    assert batched_mask_to_box(m)[0].tolist() == [3, 2, 7, 5]
+
+    boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32)
+    keep = greedy_nms(boxes, np.array([0.9, 0.8, 0.7], np.float32), 0.5)
+    assert sorted(keep.tolist()) == [0, 2]
+
+
+def test_sam_generate_everything(sam_facade):
+    """generate(): grid prompting + stability/IoU filtering + NMS dedup runs
+    end-to-end and returns coherent full-frame masks (reference
+    models/sam/predict.py:210-330). Random-init weights, so thresholds are
+    disabled and only the mechanics are asserted."""
+    import cv2
+
+    img = np.full((96, 128, 3), 30, np.uint8)
+    cv2.circle(img, (40, 48), 20, (200, 200, 200), -1)
+    cv2.rectangle(img, (80, 20), (120, 70), (120, 180, 90), -1)
+    res = sam_facade.generate(
+        img, points_per_side=4, points_per_batch=8,
+        pred_iou_thresh=-1e9, stability_score_thresh=0.0,
+    )
+    assert len(res) == 1
+    r = res[0]
+    assert r.masks is not None and r.masks.data.shape[1:] == (96, 128)
+    assert len(r.boxes) == len(r.masks.data)
+    assert len(r.masks.data) >= 1  # dedup keeps at least one mask
+    conf = r.boxes.conf
+    assert np.isfinite(conf).all()  # predicted-IoU scores carried as confidence
