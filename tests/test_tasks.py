@@ -69,22 +69,46 @@ def test_pose_predict():
         assert r.keypoints.shape[1:] == (17, 3)
 
 
-def test_rtdetr_build_and_predict():
+def _tiny_rtdetr_yaml(tmp_path, nc=80):
+    """Stock rtdetr graph with a small decoder (hd=64, nq=60, ndl=2) via the
+    YAML decoder-override args — full decoder compiles for minutes on the
+    1-vCPU runner; the tiny one exercises the same code paths."""
+    import yaml as _yaml
+
+    d = _yaml.safe_load((CFG / "v8/yolov8-rtdetr.yaml").read_text())
+    head = d["head"][-1]
+    assert head[2] == "RTDETRDecoder"
+    head[3] = ["nc", 64, 60, 4, 4, 2, 256]  # nc, hd, nq, ndp, nh, ndl, d_ffn
+    d["nc"] = nc
+    out = tmp_path / "yolov8-rtdetr-tiny.yaml"
+    out.write_text(_yaml.safe_dump(d))
+    return out
+
+
+def test_rtdetr_build_and_predict(tmp_path):
     """RTDETR: exact reference param count (9,623,388 + the 80x256 denoising
-    class embedding, head.py:335), train/eval outputs, NMS-free predict."""
+    class embedding, head.py:335) on the stock config via eval_shape; real
+    forward/train-mode/predict on the tiny-decoder config."""
     m = build_model(CFG / "v8/yolov8-rtdetr.yaml")
     shapes = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), training=True))
     n = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(shapes["params"]))
     assert n == 9_623_388 + 80 * 256
-
-    y = YOLO("yolov8-rtdetr.yaml")
-    assert y.task == "rtdetr"
-    out = y.model.apply(y.variables, jnp.zeros((1, 128, 128, 3)), training=False)
+    out = jax.eval_shape(
+        lambda: m.apply(
+            m.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), training=True),
+            jnp.zeros((1, 128, 128, 3)), training=False,
+        )
+    )
     assert out["pred"].shape == (1, 300, 84)
-    tr, _ = y.model.apply(y.variables, jnp.zeros((1, 128, 128, 3)), training=True, mutable=["batch_stats"])
-    assert tr["dec_bboxes"].shape == (6, 1, 300, 4)
-    img = (np.random.rand(96, 128, 3) * 255).astype(np.uint8)
-    r = y.predict(img, imgsz=128, conf=1e-6)[0]
+
+    y = YOLO(str(_tiny_rtdetr_yaml(tmp_path)))
+    assert y.task == "rtdetr"
+    out = y.model.apply(y.variables, jnp.zeros((1, 64, 64, 3)), training=False)
+    assert out["pred"].shape == (1, 60, 84)
+    tr, _ = y.model.apply(y.variables, jnp.zeros((1, 64, 64, 3)), training=True, mutable=["batch_stats"])
+    assert tr["dec_bboxes"].shape == (2, 1, 60, 4)
+    img = (np.random.rand(48, 64, 3) * 255).astype(np.uint8)
+    r = y.predict(img, imgsz=64, conf=1e-6)[0]
     assert len(r) > 0  # sigmoid scores, no NMS: rows survive a tiny conf
 
 
@@ -143,9 +167,9 @@ def test_rtdetr_train_step(tmp_path):
     """RTDETR DETR-loss training: 1 epoch on synthetic data, losses finite."""
     from lpc_yolo_tpu.data import make_synthetic_dataset
 
-    y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=96, nc=2)
-    m = YOLO("yolov8-rtdetr.yaml", nc=2)
-    res = m.train(data=y, epochs=1, batch=4, imgsz=96, workers=2, max_gt=8,
+    y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
+    m = YOLO(str(_tiny_rtdetr_yaml(tmp_path, nc=2)), nc=2)
+    res = m.train(data=y, epochs=1, batch=4, imgsz=64, workers=2, max_gt=8,
                   close_mosaic=0, save_dir=str(tmp_path / "run"))
     csv_text = (tmp_path / "run" / "results.csv").read_text()
     assert "train/giou" in csv_text
