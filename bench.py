@@ -1,24 +1,25 @@
 """Benchmark harness: flagship throughput on the real TPU chip.
 
-Measures the deployed NMS-free predict path end-to-end on device for
-yolov10n @640x640, batch 32: uint8 input -> normalize to bf16 (the on-device
-preprocess stage) -> backbone -> neck -> v10 head -> fused DFL/top-k decode.
-The model is built with deploy=True (slice/concat-free C2f rewrite,
-nn/modules.py) and runs on conv+BN-fused variables (nn/fuse.py) — i.e. the
-same graph the Predictor serves.
+Measures the deployed NMS-free predict path end-to-end on device for the
+yolov10 n/s/m scales @640x640 batch 32 (BASELINE.json's named metric), plus a
+raw-frame config that includes the on-device Pallas letterbox (720p uint8 BGR
+frame -> detections, the BASELINE.md "p50 end-to-end latency" shape).
+
+Per scale the harness also reports achieved TFLOP/s and %-of-peak (MFU) from
+XLA's own cost analysis, so MXU occupancy is tracked, not anecdotal.
 
 Methodology note: the axon-tunneled device makes per-call host timing
-unreliable (async completion + slow device->host fetch), so the benchmark
+unreliable (async completion + slow device->host fetch), so each benchmark
 runs N forward passes inside ONE jitted lax.fori_loop with a data dependency
 between iterations (output perturbs the next input, preventing CSE), and
 fetches a single scalar. Wall-clock of that dispatch / N gives per-batch step
-latency; /(N*batch) gives per-image throughput. p50_ms_per_batch is the
-median over repeated dispatches of the looped step time.
+latency; /(N*batch) gives per-image throughput.
 
-Baseline comparator (BASELINE.md §B): the reference's YOLOv8n A100-TensorRT
-latency of 0.99 ms/img => ~1010 img/s; vs_baseline = ours / 1010.
+Baseline comparators (BASELINE.md §B, A100 TensorRT ms/img -> img/s):
+yolov8n 0.99 ms -> 1010, yolov8s 1.20 -> 833, yolov8m 1.83 -> 546.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints ONE JSON line for the headline metric (v10n), then one line per extra
+config: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
@@ -34,72 +35,147 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_IMG_PER_S = 1010.0  # YOLOv8n on A100 TensorRT (docs/en/models/yolov8.md:59)
+BASELINES = {"n": 1010.0, "s": 833.0, "m": 546.0}  # A100-TRT img/s comparators
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e MXU peak
 
 
-def main():
+def _build(scale):
     from lpc_yolo_tpu.nn import build_model
-    from lpc_yolo_tpu.nn.fuse import fold_preprocess, fuse_conv_bn
+    from lpc_yolo_tpu.nn.fuse import fuse_conv_bn
 
-    batch, imgsz, iters = 32, 640, 16
     model = build_model(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml",
+        ),
         dtype=jnp.bfloat16,
         deploy=True,
     )
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
-    variables = fuse_conv_bn(variables)
+    return model, fuse_conv_bn(variables)
+
+
+def _bench_loop(forward, variables, img, iters):
+    @jax.jit
+    def loop(variables, img):
+        def body(i, carry):
+            im, acc = carry
+            det = forward(variables, im)
+            s = jnp.sum(det[:, 0, 4]).astype(jnp.float32)
+            bump = (s > jnp.float32(1e30)).astype(im.dtype)
+            return im + bump, acc + s
+
+        _, acc = jax.lax.fori_loop(0, iters, body, (img, jnp.float32(0)))
+        return acc
+
+    float(loop(variables, img))  # compile + warmup (scalar fetch = real sync)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(loop(variables, img))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    p50 = sorted(times)[len(times) // 2] / iters * 1000.0
+    return best, p50
+
+
+def _model_gflops(model, variables, batch, imgsz):
+    """Forward GFLOPs via XLA cost analysis of the compiled serving graph."""
+    from lpc_yolo_tpu.nn.fuse import fold_preprocess
+
+    def fwd(v, x):
+        v = fold_preprocess(v)
+        return model.apply(v, x.astype(jnp.bfloat16), training=False, predict_only=True,
+                           input_layout="WPACK")["det"]
+
+    x = jax.ShapeDtypeStruct((batch, imgsz, imgsz // 8, 24), jnp.uint8)
+    try:
+        cost = jax.jit(fwd).lower(variables, x).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) / 1e9
+    except Exception:
+        return 0.0
+
+
+def bench_scale(scale, batch=32, imgsz=640, iters=16):
+    from lpc_yolo_tpu.nn.fuse import fold_preprocess
+
+    model, variables = _build(scale)
 
     def forward(variables, img_u8):
         # width-packed uint8 feed: (B, H, W/8, 8*3) is the same bytes as NHWC
-        # (free host reshape) but the stem then runs on dense 128-lane tiles
-        # (compiler._wpack_prefix), unpacking once at C>=128. The /255
-        # normalize is folded into the first conv kernel (fuse.fold_preprocess)
-        # so the image-side preprocess is a bare uint8->bf16 convert.
-        variables = fold_preprocess(variables)
-        x = img_u8.astype(jnp.bfloat16)
-        return model.apply(variables, x, training=False, predict_only=True, input_layout="WPACK")["det"]
-
-    @jax.jit
-    def bench_loop(variables, img_u8):
-        def body(i, carry):
-            img, acc = carry
-            det = forward(variables, img)
-            s = jnp.sum(det[:, 0, 4]).astype(jnp.float32)
-            # data dependency defeats cross-iteration CSE; the xor is a no-op
-            # on the image content scale but ties iteration i+1 to i's output
-            bump = (s > jnp.float32(1e30)).astype(jnp.uint8)
-            return img + bump, acc + s
-
-        _, acc = jax.lax.fori_loop(0, iters, body, (img_u8, jnp.float32(0)))
-        return acc
+        # (free host reshape); the /255+BGR normalize is folded into conv1
+        # (fuse.fold_preprocess) so image-side preprocess is a bare convert.
+        v = fold_preprocess(variables)
+        return model.apply(v, img_u8.astype(jnp.bfloat16), training=False,
+                           predict_only=True, input_layout="WPACK")["det"]
 
     img = jnp.asarray(
         (np.random.RandomState(0).rand(batch, imgsz, imgsz // 8, 24) * 255).astype(np.uint8)
     )
-
-    float(bench_loop(variables, img))  # compile + warmup (scalar fetch = real sync)
-
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(bench_loop(variables, img))  # scalar fetch forces full completion
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    p50 = sorted(times)[len(times) // 2] / iters * 1000.0
+    best, p50 = _bench_loop(forward, variables, img, iters)
     ips = batch * iters / best
+    gflops = _model_gflops(model, variables, batch, imgsz)
+    tflops = ips * gflops / batch / 1000.0 if gflops else 0.0
+    return {
+        "img_s": round(ips, 1),
+        "p50_ms_per_batch": round(p50, 3),
+        "p50_ms_per_image": round(p50 / batch, 4),
+        "gflops_fwd_batch": round(gflops, 1),
+        "achieved_tflops": round(tflops, 1),
+        "mfu_pct": round(100.0 * tflops / PEAK_BF16_TFLOPS, 1) if tflops else 0.0,
+    }
 
+
+def bench_raw_frame(batch=32, imgsz=640, iters=16, frame_hw=(720, 1280)):
+    """Raw camera frame -> detections: on-device Pallas letterbox included."""
+    from lpc_yolo_tpu.ops.pallas_preprocess import letterbox_batch_device
+
+    model, variables = _build("n")
+    h0, w0 = frame_hw
+
+    def forward(variables, frames_u8):
+        x = letterbox_batch_device(frames_u8, imgsz)  # (B, 640, 640, 3) f32 RGB [0,1]
+        x = x.astype(jnp.bfloat16).reshape(frames_u8.shape[0], imgsz, imgsz // 8, 24)
+        return model.apply(variables, x, training=False, predict_only=True,
+                           input_layout="WPACK")["det"]
+
+    frames = jnp.asarray(
+        (np.random.RandomState(1).rand(batch, h0, w0, 3) * 255).astype(np.uint8)
+    )
+    best, p50 = _bench_loop(forward, variables, frames, iters)
+    ips = batch * iters / best
+    return {
+        "img_s": round(ips, 1),
+        "p50_ms_per_batch": round(p50, 3),
+        "p50_ms_per_image": round(p50 / batch, 4),
+    }
+
+
+def main():
+    batch = 32
+    n = bench_scale("n", batch=batch)
+    extras = {}
+    for scale in ("s", "m"):
+        r = bench_scale(scale, batch=batch)
+        extras[f"yolov10{scale}_b32"] = {**r, "vs_baseline": round(r["img_s"] / BASELINES[scale], 3)}
+    raw = bench_raw_frame(batch=batch)
+    extras["raw_frame_720p_v10n"] = {**raw, "vs_baseline": round(raw["img_s"] / BASELINES["n"], 3)}
+    # ONE JSON line: headline = v10n; the s/m scales and the raw-frame
+    # letterbox-included config ride along as nested extras
     print(
         json.dumps(
             {
                 "metric": "images/sec/chip yolov10n 640x640 b32 bf16 (uint8-in e2e: normalize + NMS-free predict + top-k decode)",
-                "value": round(ips, 1),
+                "value": n["img_s"],
                 "unit": "img/s",
-                "vs_baseline": round(ips / BASELINE_IMG_PER_S, 3),
-                "p50_ms_per_batch": round(p50, 3),
-                "p50_ms_per_image": round(p50 / batch, 4),
+                "vs_baseline": round(n["img_s"] / BASELINES["n"], 3),
+                **{k: v for k, v in n.items() if k != "img_s"},
+                "extra_configs": extras,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -110,7 +110,8 @@ class Validator:
                 pred = out["pred"]
                 rb = jnp.concatenate([pred[..., :4], pred[..., -1:]], axis=-1)
                 det7 = nms_rotated(
-                    rb, pred[..., 4 : 4 + model.nc], self.conf, self.iou, self.max_det
+                    rb, pred[..., 4 : 4 + model.nc], self.conf, self.iou, self.max_det,
+                    multi_label=True,
                 )
                 rbox = det7[..., :5]
                 hull = rbox_hull(rbox)
@@ -120,7 +121,8 @@ class Validator:
                 from ..ops.masks import process_mask
 
                 det, aidx = non_max_suppression(
-                    out["pred"], self.conf, self.iou, self.max_det, return_anchor_idx=True
+                    out["pred"], self.conf, self.iou, self.max_det,
+                    multi_label=True, return_anchor_idx=True,
                 )
                 mc = jnp.take_along_axis(out["mc"], aidx[..., None], axis=1)
                 hw = (self.imgsz, self.imgsz)
@@ -130,11 +132,14 @@ class Validator:
                 return det, masks > 0.5
             if task == "pose":
                 det, aidx = non_max_suppression(
-                    out["pred"], self.conf, self.iou, self.max_det, return_anchor_idx=True
+                    out["pred"], self.conf, self.iou, self.max_det,
+                    multi_label=True, return_anchor_idx=True,
                 )
                 kpt = jnp.take_along_axis(out["kpt"], aidx[..., None], axis=1)
                 return det, kpt
-            return non_max_suppression(out["pred"], self.conf, self.iou, self.max_det)
+            return non_max_suppression(
+                out["pred"], self.conf, self.iou, self.max_det, multi_label=True
+            )
 
         self._predict_cache[key] = predict
         return predict

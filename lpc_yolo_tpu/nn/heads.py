@@ -308,8 +308,19 @@ def decode_feats_topk(
         [jnp.max(f[..., 4 * reg_max:], axis=-1).reshape(B, -1) for f in feats], axis=1
     ).astype(jnp.float32)  # (B, A)
     _, idx = jax.lax.top_k(max_logit, k1)  # (B, k1)
-    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)  # (B, A, no)
-    sel = jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, k1, no)
+    # gather the k1 survivor rows per level WITHOUT materializing the
+    # (B, A, no) concat (profiled ~0.8 ms of pad+concat HBM traffic on v10m
+    # b32): each level contributes via a masked 300-row gather instead.
+    sel = jnp.zeros((B, k1, no), feats[0].dtype)
+    off = 0
+    for f in feats:
+        n_l = f.shape[1] * f.shape[2]
+        rel = idx - off
+        in_lvl = (rel >= 0) & (rel < n_l)
+        safe = jnp.clip(rel, 0, n_l - 1)
+        got = jnp.take_along_axis(f.reshape(B, n_l, no), safe[..., None], axis=1)
+        sel = jnp.where(in_lvl[..., None], got, sel)
+        off += n_l
     sel_box = sel[..., : 4 * reg_max]
     sel_cls = sel[..., 4 * reg_max:].astype(jnp.float32)
 

@@ -189,6 +189,7 @@ def nms_rotated(
     max_det: int = 300,
     pre_topk: int = 1024,
     agnostic: bool = False,
+    multi_label: bool = False,
     max_wh: float = 7680.0,
     return_anchor_idx: bool = False,
 ):
@@ -217,11 +218,20 @@ def nms_rotated(
     from .boxes import probiou
 
     B, A, nc = scores_all.shape
-    scores_best = jnp.max(scores_all, axis=-1)
-    labels_best = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
-    k = min(pre_topk, A)
-    scores, anchor = jax.lax.top_k(scores_best, k)  # sorted desc
-    labels = jnp.take_along_axis(labels_best, anchor, axis=1)
+    if multi_label:
+        # one candidate per (anchor, class) above threshold — reference
+        # obb/val.py postprocess passes multi_label=True
+        flat = scores_all.reshape(B, A * nc)
+        k = min(pre_topk, A * nc)
+        scores, flat_idx = jax.lax.top_k(flat, k)  # sorted desc
+        labels = (flat_idx % nc).astype(jnp.int32)
+        anchor = flat_idx // nc
+    else:
+        scores_best = jnp.max(scores_all, axis=-1)
+        labels_best = jnp.argmax(scores_all, axis=-1).astype(jnp.int32)
+        k = min(pre_topk, A)
+        scores, anchor = jax.lax.top_k(scores_best, k)  # sorted desc
+        labels = jnp.take_along_axis(labels_best, anchor, axis=1)
     cand = jnp.take_along_axis(rboxes, anchor[..., None], axis=1)  # (B, k, 5)
     valid = scores > conf_thres
 

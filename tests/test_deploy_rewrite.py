@@ -86,6 +86,10 @@ def test_deploy_wpack_prefix_parity(pair):
         (16, 64, 64, 64, 3, 1, 2, 2),
         (16, 64, 192, 64, 1, 1, 1, 2),  # pack-on-entry (neck C2f cv1)
         (16, 64, 48, 16, 3, 1, 1, 8),   # pack-on-entry with k3
+        (16, 64, 3, 48, 3, 2, 8, 8),    # v10m stem: 48ch at P=8 (gcd rule)
+        (16, 64, 48, 96, 3, 2, 8, 4),   # v10m conv1: 48@P8 -> 96@P4
+        (16, 64, 96, 96, 1, 1, 4, 4),   # v10m C2f96 cv1 (384 dense lanes)
+        (16, 64, 48, 48, 3, 1, 4, 4),   # v10m C2f96 interior 3x3
     ],
     ids=lambda v: str(v),
 )
@@ -120,3 +124,17 @@ def test_packed_conv_bias_act():
     )
     got = unpack_width(packed_conv(pack_width(x, 8), w, 1, 8, 8, b=b, act="silu"), 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+
+def test_repack_width_is_pure_reshape():
+    """repack_width between any two pack factors must be value-preserving:
+    the flattened element order of the packed layout is P-invariant."""
+    from lpc_yolo_tpu.nn.modules import pack_width, repack_width, unpack_width
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 4, 32, 6), jnp.float32)
+    for pf, pt in [(8, 4), (4, 8), (2, 8), (8, 1)]:
+        a = pack_width(x, pf)
+        b = repack_width(a, pf, pt) if pt > 1 else unpack_width(a, pf)
+        ref = pack_width(x, pt) if pt > 1 else x
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(ref))
