@@ -24,6 +24,11 @@ pytestmark = pytest.mark.skipif(not HAS_REF, reason="torch reference not mounted
 IMGSZ = 160
 N_IMG = 4
 CFG = Path(__file__).resolve().parents[1] / "lpc_yolo_tpu" / "cfg" / "models"
+# conf threshold for BOTH pipelines: at 0.001 a random-init model floods the
+# reference's CPU NMS with ~30k candidates and its 2-second time-limit bails
+# WITHOUT suppressing (ops.py:298-300) — a degenerate comparison. 0.15 keeps
+# candidate sets small enough that both NMS implementations fully run.
+CONF = 0.15
 
 
 def _ported_pair(ref_yaml: str, our_yaml: str, model_cls_name: str, seed_bias: bool = True):
@@ -45,6 +50,13 @@ def _ported_pair(ref_yaml: str, our_yaml: str, model_cls_name: str, seed_bias: b
             for name, p in tm.named_parameters():
                 if "cv3" in name and name.endswith(".bias") and p.ndim == 1:
                     p.copy_(torch.empty_like(p).uniform_(-4.0, -1.0, generator=g))
+                if "cv2" in name and name.endswith(".bias") and p.ndim == 1 and p.numel() % 16 == 0:
+                    # shape the DFL logits so random-init boxes come out
+                    # small (~1-2 strides) instead of reg_max-sized: GT
+                    # derived from these dets then fits inside the image
+                    b = torch.full_like(p, -2.0)
+                    b.view(-1, 16)[:, 1] = 3.0
+                    p.copy_(b)
     tm.eval()
 
     m = build_model(CFG / our_yaml)
@@ -69,6 +81,38 @@ def _write_dataset(root, names, label_lines_per_img, images, extra_yaml=None):
     yml = root / "data.yaml"
     yml.write_text(yaml.safe_dump(data))
     return yml
+
+
+def _install_real_nms():
+    """The torchvision stub (_AutoStub) returns a dummy for ops.nms; install a
+    real greedy NMS with exact torchvision semantics so the reference
+    non-rotated val path works."""
+    import sys
+
+    import torch
+
+    def nms(boxes, scores, iou_threshold):
+        order = torch.argsort(scores, descending=True)
+        keep = []
+        suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+        areas = (boxes[:, 2] - boxes[:, 0]).clamp(min=0) * (boxes[:, 3] - boxes[:, 1]).clamp(min=0)
+        for i in order.tolist():
+            if suppressed[i]:
+                continue
+            keep.append(i)
+            x1 = torch.maximum(boxes[i, 0], boxes[:, 0])
+            y1 = torch.maximum(boxes[i, 1], boxes[:, 1])
+            x2 = torch.minimum(boxes[i, 2], boxes[:, 2])
+            y2 = torch.minimum(boxes[i, 3], boxes[:, 3])
+            inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+            iou = inter / (areas[i] + areas - inter).clamp(min=1e-9)
+            suppressed |= iou > iou_threshold
+            suppressed[i] = True
+        return torch.tensor(keep, dtype=torch.int64)
+
+    sys.modules["torchvision.ops"].nms = nms
+    # the parent stub's __getattr__ shadows the submodule: link it explicitly
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
 
 
 def _torch_forward(tm, img):
@@ -110,19 +154,25 @@ def obb_setup(tmp_path_factory):
         img = (rng.rand(IMGSZ, IMGSZ, 3) * 255).astype(np.uint8)
         preds = _torch_forward(tm, img)
         dets = t_ops.non_max_suppression(
-            preds, 0.001, 0.7, nc=tm.yaml["nc"], multi_label=True, max_det=300, rotated=True
+            preds, CONF, 0.7, nc=tm.yaml["nc"], multi_label=True, max_det=300, rotated=True
         )[0]
         # rows: [cx, cy, w, h, conf, cls, angle]
         lines = []
         for row in dets[:3].numpy():
             cx, cy, w, h, conf, cls_, ang = row
-            w, h = max(w, 10.0), max(h, 10.0)
+            # sanitize into the image so the polygon stays a true rectangle
+            # (clipping corners would mangle it and the two polygon->xywhr
+            # converters would disagree on the GT)
+            w = float(np.clip(w, 8.0, 56.0))
+            h = float(np.clip(h, 8.0, 56.0))
+            m_ = np.hypot(w, h) / 2 + 2
+            cx = float(np.clip(cx, m_, IMGSZ - m_))
+            cy = float(np.clip(cy, m_, IMGSZ - m_))
             c, s = np.cos(ang), np.sin(ang)
             v1 = np.array([w / 2 * c, w / 2 * s])
             v2 = np.array([-h / 2 * s, h / 2 * c])
             ctr = np.array([cx, cy])
-            pts = np.stack([ctr + v1 + v2, ctr + v1 - v2, ctr - v1 - v2, ctr - v1 + v2])
-            pts = np.clip(pts / IMGSZ, 0.01, 0.99)
+            pts = np.stack([ctr + v1 + v2, ctr + v1 - v2, ctr - v1 - v2, ctr - v1 + v2]) / IMGSZ
             lines.append(f"{int(cls_)} " + " ".join(f"{p:.6f}" for p in pts.reshape(-1)))
         if not lines:
             lines = ["0 0.2 0.2 0.4 0.2 0.4 0.4 0.2 0.4"]
@@ -145,7 +195,7 @@ def _reference_obb_map(tm, root) -> float:
         img = cv2.imread(str(f))
         preds = _torch_forward(tm, img)
         det = t_ops.non_max_suppression(
-            preds, 0.001, 0.7, nc=tm.yaml["nc"], multi_label=True, max_det=300, rotated=True
+            preds, CONF, 0.7, nc=tm.yaml["nc"], multi_label=True, max_det=300, rotated=True
         )[0]
         lab = np.loadtxt(str(root / "labels" / "val" / f"{f.stem}.txt"), ndmin=2)
         gt_cls = torch.tensor(lab[:, 0])
@@ -167,7 +217,7 @@ def test_obb_val_map_agreement(obb_setup):
 
     y = YOLO("yolov8-obb.yaml", nc=tm.yaml["nc"])
     y.model, y.variables, y.task = m, v, "obb"
-    res = y.val(data=str(yml), imgsz=IMGSZ, batch=N_IMG, conf=0.001)
+    res = y.val(data=str(yml), imgsz=IMGSZ, batch=N_IMG, conf=CONF)
     ours = float(res["metrics/mAP50-95(B)"])
     ref = _reference_obb_map(tm, root)
     assert ref > 0.0 and ours > 0.0, (ours, ref)
@@ -178,6 +228,7 @@ def test_obb_val_map_agreement(obb_setup):
 @pytest.fixture(scope="module")
 def pose_setup(tmp_path_factory):
     _ref_ultralytics()
+    _install_real_nms()
     import torch
     from ultralytics.utils import ops as t_ops
 
@@ -189,12 +240,17 @@ def pose_setup(tmp_path_factory):
         img = (rng.rand(IMGSZ, IMGSZ, 3) * 255).astype(np.uint8)
         preds = _torch_forward(tm, img)
         det = t_ops.non_max_suppression(
-            preds[0] if isinstance(preds, tuple) else preds, 0.001, 0.7,
+            preds[0] if isinstance(preds, tuple) else preds, CONF, 0.7,
             nc=1, multi_label=True, max_det=300,
         )[0]
         lines = []
-        for row in det[:2].numpy():
-            x1, y1, x2, y2 = np.clip(row[:4], 2, IMGSZ - 2)
+        rows = det.numpy()
+        # GT only from detections fully inside the frame: clipping an
+        # edge-crossing box would leave it <0.5 IoU from its own detection
+        inside = (rows[:, 0] >= 1) & (rows[:, 1] >= 1) & (rows[:, 2] <= IMGSZ - 1) & (rows[:, 3] <= IMGSZ - 1)
+        rows = rows[inside]
+        for row in rows[:2]:
+            x1, y1, x2, y2 = row[:4]
             if x2 - x1 < 12:
                 x2 = min(x1 + 12, IMGSZ - 2)
             if y2 - y1 < 12:
@@ -229,7 +285,7 @@ def _reference_pose_maps(tm, root):
         img = cv2.imread(str(f))
         preds = _torch_forward(tm, img)
         det = t_ops.non_max_suppression(
-            preds[0] if isinstance(preds, tuple) else preds, 0.001, 0.7,
+            preds[0] if isinstance(preds, tuple) else preds, CONF, 0.7,
             nc=1, multi_label=True, max_det=300,
         )[0]
         lab = np.loadtxt(str(root / "labels" / "val" / f"{f.stem}.txt"), ndmin=2)
@@ -260,7 +316,7 @@ def test_pose_val_map_agreement(pose_setup):
 
     y = YOLO("yolov8-pose.yaml")
     y.model, y.variables, y.task = m, v, "pose"
-    res = y.val(data=str(yml), imgsz=IMGSZ, batch=N_IMG, conf=0.001)
+    res = y.val(data=str(yml), imgsz=IMGSZ, batch=N_IMG, conf=CONF)
     ours_b = float(res["metrics/mAP50-95(B)"])
     ours_p = float(res["metrics/mAP50-95(P)"])
     ref_b, ref_p = _reference_pose_maps(tm, root)
@@ -274,6 +330,7 @@ def test_pose_val_map_agreement(pose_setup):
 @pytest.fixture(scope="module")
 def seg_setup(tmp_path_factory):
     _ref_ultralytics()
+    _install_real_nms()
     import cv2
     import torch
     from ultralytics.utils import ops as t_ops
@@ -287,14 +344,27 @@ def seg_setup(tmp_path_factory):
         preds = _torch_forward(tm, img)
         proto = preds[1][-1] if len(preds[1]) == 3 else preds[1]
         det = t_ops.non_max_suppression(
-            preds[0], 0.001, 0.7, nc=80, multi_label=True, max_det=300
+            preds[0], CONF, 0.7, nc=80, multi_label=True, max_det=300
         )[0]
         lines = []
         if len(det):
             masks = t_ops.process_mask(
                 proto[0], det[:, 6:], det[:, :4], (IMGSZ, IMGSZ), upsample=True
             ).numpy() > 0.5
-            for row, mk in zip(det[:3].numpy(), masks[:3]):
+            rows = det.numpy()
+            # GT only from detections that are (a) fully inside the frame
+            # (an edge-crossing box sits <0.5 IoU from its clipped polygon's
+            # bbox — the same failure the pose fixture hits) and (b) whose
+            # mask fills the box (contour-bbox IoU >= 0.55), so the GT box
+            # derived from the polygon can actually match its own detection
+            inside = (
+                (rows[:, 0] >= 1) & (rows[:, 1] >= 1)
+                & (rows[:, 2] <= IMGSZ - 1) & (rows[:, 3] <= IMGSZ - 1)
+            )
+            for j in np.where(inside)[0]:
+                if len(lines) >= 3:
+                    break
+                row, mk = rows[j], masks[j]
                 cnts, _ = cv2.findContours(
                     mk.astype(np.uint8), cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
                 )
@@ -302,6 +372,15 @@ def seg_setup(tmp_path_factory):
                     continue
                 cnt = max(cnts, key=cv2.contourArea)
                 if cv2.contourArea(cnt) < 60 or len(cnt) < 3:
+                    continue
+                x, y, w, h = cv2.boundingRect(cnt)
+                ix1 = max(x, row[0]); iy1 = max(y, row[1])
+                ix2 = min(x + w, row[2]); iy2 = min(y + h, row[3])
+                inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+                bbox_iou = inter / (
+                    w * h + (row[2] - row[0]) * (row[3] - row[1]) - inter + 1e-9
+                )
+                if bbox_iou < 0.55:
                     continue
                 poly = (cnt.reshape(-1, 2).astype(np.float32) / IMGSZ).clip(0.002, 0.998)
                 lines.append(
@@ -330,7 +409,7 @@ def _reference_seg_maps(tm, root):
         preds = _torch_forward(tm, img)
         proto = preds[1][-1] if len(preds[1]) == 3 else preds[1]
         det = t_ops.non_max_suppression(
-            preds[0], 0.001, 0.7, nc=80, multi_label=True, max_det=300
+            preds[0], CONF, 0.7, nc=80, multi_label=True, max_det=300
         )[0]
         pred_masks = t_ops.process_mask(
             proto[0], det[:, 6:], det[:, :4], (IMGSZ, IMGSZ), upsample=True
@@ -368,7 +447,7 @@ def test_segment_val_map_agreement(seg_setup):
 
     y = YOLO("yolov8-seg.yaml")
     y.model, y.variables, y.task = m, v, "segment"
-    res = y.val(data=str(yml), imgsz=IMGSZ, batch=N_IMG, conf=0.001)
+    res = y.val(data=str(yml), imgsz=IMGSZ, batch=N_IMG, conf=CONF)
     ours_b = float(res["metrics/mAP50-95(B)"])
     ours_m = float(res["metrics/mAP50-95(M)"])
     ref_b, ref_m = _reference_seg_maps(tm, root)
