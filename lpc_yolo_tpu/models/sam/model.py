@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from .prompt_mask import MaskDecoder, PromptEncoder
 from .tiny_encoder import TinyViT
+from .vit_encoder import VIT_CONFIGS, ImageEncoderViT
 
 MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 STD = np.array([58.395, 57.12, 57.375], np.float32)
@@ -33,12 +34,21 @@ IMG_SIZE = 1024
 
 
 class MobileSam(nn.Module):
-    """TinyViT encoder + prompt encoder + mask decoder (modules/sam.py:17-65)."""
+    """Image encoder + prompt encoder + mask decoder (modules/sam.py:17-65).
+
+    variant selects the encoder: 'tiny' = MobileSAM TinyViT (build.py:54-63),
+    'vit_b'/'vit_l'/'vit_h' = the full-size SAM ViTDet encoders (build.py:21-51).
+    Prompt encoder and mask decoder are identical across variants.
+    """
 
     dtype: Any = jnp.float32
+    variant: str = "tiny"
 
     def setup(self):
-        self.image_encoder = TinyViT(dtype=self.dtype)
+        if self.variant == "tiny":
+            self.image_encoder = TinyViT(dtype=self.dtype)
+        else:
+            self.image_encoder = ImageEncoderViT(dtype=self.dtype, **VIT_CONFIGS[self.variant])
         self.prompt_encoder = PromptEncoder(dtype=self.dtype)
         self.mask_decoder = MaskDecoder(dtype=self.dtype)
 
@@ -65,10 +75,21 @@ class SAM:
     """User facade (reference models/sam/model.py): `SAM('mobile_sam.pt')`
     then `.predict(img, points=..., bboxes=...)` -> list of Results."""
 
+    @staticmethod
+    def _variant_of(name: str) -> str:
+        """Map checkpoint-style names to encoder variants (reference
+        models/sam/model.py + build.py sam_model_map: sam_b/l/h -> ViT,
+        mobile_sam -> TinyViT)."""
+        stem = name.rsplit("/", 1)[-1].removesuffix(".pt").lower()
+        for v in ("vit_b", "vit_l", "vit_h"):
+            if stem in (v, f"sam_{v[-1]}", f"sam_{v}"):
+                return v
+        return "tiny"
+
     def __init__(self, model: str = "mobile_sam", max_points: int = 8):
         self.model_name = str(model)
         self.max_points = max_points
-        self.net = MobileSam()
+        self.net = MobileSam(variant=self._variant_of(str(model)))
         if str(model).endswith(".pt"):
             from .port import load_torch_sam
 

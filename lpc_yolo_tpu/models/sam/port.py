@@ -38,12 +38,13 @@ def _sam_path(name: str):
             merged[-1] = f"{merged[-1]}_{c}"
         else:
             merged.append(c)
-    # fuse TinyViT stage scopes and the decoder MLPBlock
+    # fuse TinyViT stage scopes, the decoder MLPBlock, and the ViT patch embed
     fused = []
     for c in merged:
         if fused and (
             (fused[-1].startswith("layers_") and "_blocks" not in fused[-1] and c.startswith(("blocks_", "downsample")))
             or (c.startswith("lin") and fused[-1] == "mlp")
+            or (c == "proj" and fused[-1] == "patch_embed")
         ):
             fused[-1] = f"{fused[-1]}_{c}"
         else:
@@ -78,6 +79,9 @@ def port_sam_state_dict(state_dict: Mapping[str, Any], variables: Dict[str, Any]
         elif leaf == "positional_encoding_gaussian_matrix":
             key, tree, filled = path + (leaf,), params, filled_p
         elif leaf == "attention_biases":
+            key, tree, filled = path + (leaf,), params, filled_p
+        elif leaf in ("pos_embed", "rel_pos_h", "rel_pos_w"):
+            # ViT encoder raw parameters (encoders.py:77-80, :432-433)
             key, tree, filled = path + (leaf,), params, filled_p
         elif leaf == "weight" and arr.ndim == 4:
             key, tree, filled = path + ("kernel",), params, filled_p
