@@ -294,10 +294,13 @@ def _pack_of(c2: int) -> int:
 
     TPU tiles put channels on the 128-wide lane axis, so C<128 activations
     waste both HBM bandwidth (tile-padded transfers) and MXU throughput
-    (kernel tiles at (C/128)^2 utilization — profiled 14% for the 48-ch v10m
-    C2f interiors). Packing P width-adjacent pixels into the channel axis
-    makes lanes dense at a P-fold kernel expansion (modules.packed_conv);
-    a win whenever c2 < 128. 0 = leave unpacked.
+    (kernel tiles at (C/128)^2 utilization — profiled 10% for unpacked
+    48-ch convs at 160^2, 6% inside fusions). Packing P width-adjacent
+    pixels into the channel axis makes lanes dense at a kernel-expansion
+    FLOP cost (modules.packed_conv); profiling shows the win holds for the
+    whole sub-128 regime PROVIDED the packed region is a maximal chain —
+    isolated packed layers lose their gain to tiled-layout transition
+    copies (~3 ms for a 160 MB unpack at 320^2). 0 = leave unpacked.
     """
     import math
 
@@ -321,8 +324,6 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
     if spec.module not in ("Conv", "C2f") or len(spec.f) != 1:
         return None
     p_out = _pack_of(spec.c2)
-    if not p_out:
-        return None
     if spec.module == "Conv":
         s = spec.args[3] if len(spec.args) > 3 else 1
         if len(spec.args) > 4 and spec.args[4] not in (None, "None"):
@@ -331,9 +332,27 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
             return None  # grouped convs not packed
         if len(spec.args) > 6 and spec.args[6] != 1:
             return None  # dilation not packed
+        if not p_out:
+            # chain continuation: a stride-2 conv at a c2>=128 stage boundary
+            # still consumes the packed input and emits P_in/2, pushing the
+            # one unpack copy past the stride onto a 4x smaller tensor
+            # (profiled: unpacking 96ch at 160^2 costs ~2.9 ms; at 80^2 post
+            # stride it is a fraction of that). Exactness unchanged —
+            # packed_conv is bit-identical algebra either way.
+            if (
+                p_in > 1
+                and s == 2
+                and p_in % 2 == 0
+                and p_in // 2 >= 2
+                and (spec.c2 * (p_in // 2)) % 128 == 0
+            ):
+                return (p_in, p_in // 2)
+            return None
         if p_in > 1 and (s * p_out) % p_in == 0:
             return (p_in, p_out)
         return (p_out if p_in > 1 else 1, p_out)
+    if not p_out:
+        return None
     # C2f
     if len(spec.args) > 2 and spec.args[2] > 2:
         return None  # must match the deploy-C2f gate in _build_module

@@ -90,6 +90,7 @@ def test_deploy_wpack_prefix_parity(pair):
         (16, 64, 48, 96, 3, 2, 8, 4),   # v10m conv1: 48@P8 -> 96@P4
         (16, 64, 96, 96, 1, 1, 4, 4),   # v10m C2f96 cv1 (384 dense lanes)
         (16, 64, 48, 48, 3, 1, 4, 4),   # v10m C2f96 interior 3x3
+        (16, 64, 96, 192, 3, 2, 4, 2),  # v10m stage-2 boundary: chain continuation
     ],
     ids=lambda v: str(v),
 )
