@@ -178,6 +178,18 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
     if len(args) == 1 and args[0] in special:
         special[args[0]]()
         return None
+    if args[0] == "explorer":
+        # `yolo explorer data=coco8.yaml [model=...] [port=...]` launches the
+        # dataset dashboard (reference cfg/__init__.py:412 handle_explorer,
+        # which shells out to streamlit; here a stdlib HTTP app).
+        from ..data.explorer_gui import run_dash
+
+        kv = dict(a.split("=", 1) for a in args[1:] if "=" in a)
+        return run_dash(
+            data=kv.get("data", "coco8.yaml"),
+            model=kv.get("model", "yolov10n.yaml"),
+            port=int(kv.get("port", 8501)),
+        )
 
     overrides: Dict[str, Any] = {}
     task, mode = None, None

@@ -29,6 +29,7 @@ class Explorer:
         self.imgsz = imgsz
         self.model_name = model
         self.embeddings: Optional[np.ndarray] = None
+        self.progress = 0.0  # embedding-build progress in [0, 1] (reference explorer.py .progress)
         self._embed_fn = None
 
     def _build_embedder(self):
@@ -70,6 +71,7 @@ class Explorer:
             z = np.load(cache_path)
             if len(z["emb"]) == len(self.dataset):
                 self.embeddings = z["emb"]
+                self.progress = 1.0
                 return self.embeddings
         import cv2
 
@@ -79,6 +81,7 @@ class Explorer:
         for i in range(len(self.dataset)):
             im = cv2.resize(self.dataset.load_image(i), (self.imgsz, self.imgsz))
             embs.append(np.asarray(self._embed_fn(jnp.asarray(im[None]))[0]))
+            self.progress = (i + 1) / len(self.dataset)
         self.embeddings = np.stack(embs)
         if cache:
             try:

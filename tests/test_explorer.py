@@ -53,6 +53,46 @@ def test_hub_session():
     assert s.uploaded[0]["best"] is True
 
 
+def test_explorer_dashboard(ds):
+    """The stdlib-HTTP dashboard serves the reference dash.py operations
+    (grid rows, SQL form, similarity search, thumbnails) over loopback."""
+    import json
+    from urllib.request import urlopen
+
+    from lpc_yolo_tpu.data.explorer import Explorer
+    from lpc_yolo_tpu.data.explorer_gui import ExplorerDash
+
+    dash = ExplorerDash(Explorer(ds, imgsz=96))
+    port = dash.start(port=0)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        page = urlopen(f"{base}/").read().decode()
+        assert "Explorer" in page and "/api/sql" in page
+
+        info = json.load(urlopen(f"{base}/api/info"))
+        assert info["total"] == 6 and info["names"]
+
+        grid = json.load(urlopen(f"{base}/api/images?limit=3"))
+        assert grid["total"] == 6 and len(grid["rows"]) == 3
+        assert grid["rows"][0]["idx"] == 0 and grid["rows"][0]["im_file"]
+
+        rows = json.load(urlopen(f"{base}/api/sql?q=SELECT%20*%20FROM%20'table'%20LIMIT%202"))["rows"]
+        assert len(rows) == 2 and rows[0]["idx"] == 0
+
+        err = json.load(urlopen(f"{base}/api/sql?q=DROP%20TABLE"))
+        assert "error" in err
+
+        jpg = urlopen(f"{base}/img/0").read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+
+        sim = json.load(urlopen(f"{base}/api/similar?idx=0&limit=3"))["rows"]
+        assert sim[0]["idx"] == 0 and sim[0]["similarity"] > 0.999 and sim[0]["labels"] is not None
+        prog = json.load(urlopen(f"{base}/api/progress"))
+        assert prog["progress"] == 1.0
+    finally:
+        dash.stop()
+
+
 def test_explorer_sql_query(tmp_path):
     """sql_query evaluates the reference's documented SQL grammar
     (explorer.py:173) without duckdb: LIKE over label names, numeric
