@@ -51,8 +51,14 @@ def _build(scale):
         dtype=jnp.bfloat16,
         deploy=True,
     )
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
-    return model, fuse_conv_bn(variables)
+    # init on host: eager per-op dispatch over the axon tunnel costs ~10 min
+    # for the hundreds of init ops; on CPU it is seconds, then one transfer
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True
+        )
+        variables = fuse_conv_bn(variables)
+    return model, jax.device_put(variables, jax.devices()[0])
 
 
 def _bench_loop(forward, variables, img, iters):

@@ -290,23 +290,27 @@ def _hashable(a):
 
 
 def _pack_of(c2: int) -> int:
-    """Width-pack factor for a channel count: smallest P with (P*c2) % 128 == 0.
+    """Width-pack factor for a channel count: smallest power-of-two P with
+    P*c2 >= 96 lanes, applied only for c2 <= 64. 0 = leave unpacked.
 
-    TPU tiles put channels on the 128-wide lane axis, so C<128 activations
-    waste both HBM bandwidth (tile-padded transfers) and MXU throughput
-    (kernel tiles at (C/128)^2 utilization — profiled 10% for unpacked
-    48-ch convs at 160^2, 6% inside fusions). Packing P width-adjacent
-    pixels into the channel axis makes lanes dense at a kernel-expansion
-    FLOP cost (modules.packed_conv); profiling shows the win holds for the
-    whole sub-128 regime PROVIDED the packed region is a maximal chain —
-    isolated packed layers lose their gain to tiled-layout transition
-    copies (~3 ms for a 160 MB unpack at 320^2). 0 = leave unpacked.
+    TPU tiles put channels on the 128-wide lane axis, so low-C activations
+    waste HBM bandwidth and MXU columns; packing P width-adjacent pixels
+    into the channel axis makes lanes dense at a kernel-expansion FLOP cost
+    of ~P x (modules.packed_conv — the scattered kernel is 1/P-dense and the
+    MXU computes the zeros). The xplane-profiled break-even on v5e: XLA's
+    in-context conv efficiency is ~64% of the lane-util ceiling (e.g. 48%
+    of peak for unpacked 96-ch 3x3 convs, fusion-measured on v10m), while
+    packed convs run at 60-94% of peak hardware rate. Packing therefore
+    wins only while C/128 * 0.64 < 0.85/P, i.e. for C <= 64; the previous
+    exact-multiple rule (P = 128/gcd(C,128)) packed v10m's 48/96-channel
+    stem at P=8/P=4 and cost ~12 ms of a 36.6 ms step for 326 GF of
+    logical work — re-tuned here to [96,128]-lane targets.
     """
-    import math
-
-    if not isinstance(c2, int) or c2 <= 0 or c2 >= 128:
+    if not isinstance(c2, int) or c2 <= 0 or c2 > 64:
         return 0
-    p = 128 // math.gcd(c2, 128)
+    p = 1
+    while p * c2 < 96:
+        p *= 2
     return p if p > 1 else 0
 
 
@@ -332,33 +336,108 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
             return None  # grouped convs not packed
         if len(spec.args) > 6 and spec.args[6] != 1:
             return None  # dilation not packed
+        # image-stem feed (c1 < 16): the arriving pack IS the MXU contraction
+        # density (K = kh*kwp*P_in*c1); repacking down (or unpacking) would
+        # starve K (a 3-ch input at P=2 gives K=54), so when the direct
+        # chain (s*P_out % P_in == 0) is unavailable continue at P_in/s and
+        # let the next layer decide
+        c1 = spec.args[0]
+        stem_feed = (
+            p_in > 1
+            and isinstance(c1, int)
+            and c1 < 16
+            and p_in % s == 0
+            and p_in // s >= 2
+        )
+        if stem_feed and (not p_out or (s * p_out) % p_in != 0):
+            # keep P_out = P_in when no direct chain exists: both the
+            # contraction (K = kh*kwp*P_in*c1) and the output lanes
+            # (P_out*c2) stay multi-tile dense. Profiled v10m L0:
+            # (8,8) = 0.80 ms vs (8,4) = 2.24 ms — the (8,4) kernel tiles
+            # at K=144/N=192 and loses 3x to pad waste.
+            return (p_in, p_in)
         if not p_out:
-            # chain continuation: a stride-2 conv at a c2>=128 stage boundary
-            # still consumes the packed input and emits P_in/2, pushing the
-            # one unpack copy past the stride onto a 4x smaller tensor
-            # (profiled: unpacking 96ch at 160^2 costs ~2.9 ms; at 80^2 post
-            # stride it is a fraction of that). Exactness unchanged —
-            # packed_conv is bit-identical algebra either way.
-            if (
-                p_in > 1
-                and s == 2
-                and p_in % 2 == 0
-                and p_in // 2 >= 2
-                and (spec.c2 * (p_in // 2)) % 128 == 0
-            ):
-                return (p_in, p_in // 2)
+            # chain continuation at a stage boundary: a stride-2 conv fed
+            # packed keeps consuming the packed input. When halving the pack
+            # stays 128-dense, emit P_in/2; otherwise repack (free) to P=2
+            # and emit UNPACKED (P_out=1, kernel bloat only 4/3) — the
+            # packed region then ends inside the conv, with no separate
+            # unpack relayout and no low-lane plain conv. (xplane-profiled
+            # on v10m: unpack-then-plain for the 48ch 320^2 stem cost
+            # ~3 ms more per step than ending the chain in-conv.)
+            if p_in > 1 and s == 2:
+                if p_in % 2 == 0 and p_in // 2 >= 2 and (spec.c2 * (p_in // 2)) % 128 == 0:
+                    return (p_in, p_in // 2)
+                return (2, 1)
             return None
         if p_in > 1 and (s * p_out) % p_in == 0:
             return (p_in, p_out)
+        if stem_feed:
+            return (p_in, p_in // s)
         return (p_out if p_in > 1 else 1, p_out)
-    if not p_out:
-        return None
-    # C2f
+    # C2f: the pack applies to cv1's output y (c2 channels) and the
+    # bottleneck interiors (c2/2); target >= 128 lanes on y, i.e. >= 64 on
+    # the interiors (c2=96 -> P2, 64 -> P2, 32 -> P4). At c2 >= 128 y is
+    # already lane-dense and the interior bloat is a wash — run unpacked.
     if len(spec.args) > 2 and spec.args[2] > 2:
         return None  # must match the deploy-C2f gate in _build_module
-    if spec.c2 > 128:
+    if spec.c2 >= 128:
+        return None
+    p_out = 1
+    while p_out * spec.c2 < 128:
+        p_out *= 2
+    if p_out <= 1:
         return None
     return (p_out if p_in > 1 else 1, p_out)
+
+
+def _up_fusion_plan(specs, save) -> Dict[int, Tuple[int, int, int]]:
+    """Serving-graph upsample-commute sites: {c2f_i: (up_i, concat_i, skip_j)}.
+
+    Matches the FPN-neck triple `nn.Upsample(2x, nearest)` -> `Concat([-1, j])`
+    -> `C2f(-1)` where the upsample/concat outputs have no other consumers.
+    cv1 is 1x1, so its upsampled-input rows commute through the nearest
+    upsample (modules.C2f up_pair path): the conv runs on the 4x-smaller map
+    and the 2x repeat moves after it. Only plain-path C2f blocks (no deploy
+    rewrite claim, i.e. c2 > 128 or n > 2) are planned — the rewrite path
+    has its own input handling.
+    """
+    plan: Dict[int, Tuple[int, int, int]] = {}
+    for k in range(len(specs) - 2):
+        s_up, s_cat, s_c2f = specs[k], specs[k + 1], specs[k + 2]
+        if s_up.module != "nn.Upsample" or s_cat.module != "Concat" or s_c2f.module != "C2f":
+            continue
+        if len(s_up.args) < 3 or s_up.args[1] != 2 or str(s_up.args[2]) != "nearest":
+            continue
+        if s_up.f != (-1,) or s_c2f.f != (-1,):
+            continue
+        if len(s_cat.f) != 2 or s_cat.f[0] != -1 or s_cat.f[1] == -1:
+            continue
+        if s_up.i in save or s_cat.i in save:
+            continue
+        if s_c2f.args[1] <= 128 and s_c2f.args[2] <= 2:
+            continue  # deploy-rewrite C2f: handled by _deploy_call instead
+        plan[s_c2f.i] = (s_up.i, s_cat.i, s_cat.f[1])
+    return plan
+
+
+def _repack(x, p_from: int, p_to: int):
+    """Pack-factor change on the serving path.
+
+    Logically a pure reshape (modules.repack_width), but XLA compiles the
+    lane-dim change to a generic transpose copy at ~1/6 of HBM bandwidth
+    (1.23 ms for the v10m stem's 4->2, xplane-profiled); on TPU backends the
+    relayout streams through a Pallas kernel instead. Down-repacks only
+    (p_to | p_from, incl. unpack p_to=1); CPU and pack-up fall back to the
+    reshape.
+    """
+    if p_from == p_to:
+        return x
+    # NOTE: a Pallas relayout kernel (ops/pallas_layout.py) was benched against
+    # XLA's compiled copy for the v10m stem's 4->2: XLA reaches ~290 GB/s,
+    # the slice-copy kernel only ~184 GB/s (lane slices at 1.5-tile offsets
+    # lower to shuffle chains), so the plain reshape path stays.
+    return M.repack_width(x, p_from, p_to) if p_to > 1 else M.unpack_width(x, p_from)
 
 
 def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
@@ -570,9 +649,23 @@ class DetectionModel(nn.Module):
             text = jnp.zeros((x.shape[0], self.nc, 512), self.dtype)
         txt = text  # running text features (ImagePoolingAttn updates them);
         # WorldDetect consumes the ORIGINAL text (tasks.py:615 ori_txt_feats)
+        up_plan = (
+            _up_fusion_plan(self.specs, self.save)
+            if (self.deploy and not training)
+            else {}
+        )
+        up_skip = {i for triple in up_plan.values() for i in triple[:2]}
+        up_pending: Dict[int, jnp.ndarray] = {}
         for spec in self.specs:
             name = f"model_{spec.i}"
             is_last = spec.i == self.specs[-1].i
+
+            if spec.i in up_skip:
+                # deferred: the following C2f consumes the pre-upsample map
+                # directly (upsample-commute, see _up_fusion_plan)
+                if spec.module == "nn.Upsample":
+                    up_pending[spec.i] = x if spec.f[0] == -1 else y[spec.f[0]]
+                continue
 
             # greedy width-pack plan (deploy serving path): any single-input
             # Conv/C2f with C<128 runs packed (P = 128/gcd(C,128)) — including
@@ -587,13 +680,13 @@ class DetectionModel(nn.Module):
             if plan is None:
                 p_out = 0
                 if cur_pack > 1 and -1 in spec.f:
-                    x = M.unpack_width(x, cur_pack)  # this layer needs NHWC x
+                    x = _repack(x, cur_pack, 1)  # this layer needs NHWC x
                     cur_pack = 1
                 p_in = 1
             else:
                 p_used, p_out = plan
                 if single_prev and cur_pack > 1 and cur_pack != p_used:
-                    x = M.repack_width(x, cur_pack, p_used)
+                    x = _repack(x, cur_pack, p_used)
                     cur_pack = p_used
                 p_in = p_used
 
@@ -641,13 +734,20 @@ class DetectionModel(nn.Module):
                         dtype=self.dtype,
                         name=name,
                     )
-                    branches = "one2one" if (predict_only and not training) else "both"
-                    out = head(xs, training, branches=branches)
+                    serving = predict_only and not training
+                    out = head(
+                        xs, training,
+                        branches="one2one" if serving else "both",
+                        split=serving,
+                    )
                     if training:
                         return out
                     if predict_only:
-                        # fused decode: top-k before DFL/sigmoid (heads.py:decode_feats_topk)
-                        return {"det": decode_feats_topk(out["one2one"], self.strides, self.nc, self.reg_max)}
+                        # fused decode: top-k before DFL/sigmoid over split
+                        # (box, cls) maps (heads.py:decode_feats_topk_split)
+                        from .heads import decode_feats_topk_split
+
+                        return {"det": decode_feats_topk_split(out["one2one"], self.strides, self.nc, self.reg_max)}
                     out["pred"] = decode_feats(out["one2one"], self.strides, self.nc, self.reg_max)
                     return out
                 elif spec.module == "RTDETRDecoder":
@@ -742,7 +842,12 @@ class DetectionModel(nn.Module):
                 inp = [x if j == -1 else y[j] for j in spec.f]
             else:
                 inp = x if spec.f[0] == -1 else y[spec.f[0]]
-            if spec.module == "C2fAttn":
+            if spec.i in up_plan:
+                ui, _ci, skip_j = up_plan[spec.i]
+                module = _build_module(spec, self.dtype, name, deploy=self.deploy)
+                x = module(y[skip_j], training, up_pair=(up_pending.pop(ui), y[skip_j]))
+                cur_pack = 1
+            elif spec.module == "C2fAttn":
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
                 x = module(inp, txt, training)
                 cur_pack = 1
@@ -762,7 +867,7 @@ class DetectionModel(nn.Module):
                 x = module(inp, training)
                 cur_pack = p_out
                 if spec.i in self.save:
-                    y[spec.i] = M.unpack_width(x, p_out)
+                    y[spec.i] = _repack(x, p_out, 1)
                 continue
             else:
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy)
@@ -771,7 +876,7 @@ class DetectionModel(nn.Module):
             if spec.i in self.save:
                 y[spec.i] = x
         if cur_pack > 1:
-            x = M.unpack_width(x, cur_pack)
+            x = _repack(x, cur_pack, 1)
         return x  # headless graph (feature extractor)
 
 

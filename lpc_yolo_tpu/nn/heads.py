@@ -232,7 +232,8 @@ class V10Detect(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False, branches: str = "both"):
+    def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False, branches: str = "both",
+                 split: bool = False):
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], min(self.nc, 100))
 
@@ -265,7 +266,14 @@ class V10Detect(nn.Module):
                     dtype=self.dtype,
                     name=f"{pcls}_{i}_2",
                 )(c)
-                outs.append(jnp.concatenate([b, c], axis=-1))
+                if split:
+                    # serving path: keep (box, cls) maps separate — the fused
+                    # decode consumes them independently, and the per-level
+                    # 64++nc concat costs a 1.5-tile layout copy per level
+                    # (~0.4 ms/step on v10m b32, xplane-profiled)
+                    outs.append((b, c))
+                else:
+                    outs.append(jnp.concatenate([b, c], axis=-1))
             return tuple(outs)
 
         out = {}
@@ -275,6 +283,21 @@ class V10Detect(nn.Module):
         if branches in ("both", "one2many"):
             out["one2many"] = branch(xs, "cv2", "cv3")
         return out
+
+
+def _topk(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k via approx_max_k's PartialReduce lowering (recall 1.0).
+
+    On TPU, lax.top_k lowers to a TopK custom call that cost ~1.1 ms for
+    (32, 24000) f32 (xplane-profiled, v10m b32 decode); approx_max_k with
+    recall_target=1.0 + aggregate_to_topk lowers to a two-stage
+    PartialReduce that returns the same exact sorted top-k values several
+    times faster. Tie-breaking between exactly-equal scores may order
+    indices differently from lax.top_k; detection scores are continuous
+    floats, so ties are measure-zero (and downstream consumers treat
+    detections as a set).
+    """
+    return jax.lax.approx_max_k(x, k, recall_target=1.0)
 
 
 def decode_feats_topk(
@@ -294,10 +317,27 @@ def decode_feats_topk(
 
     Returns (B, max_det, 6) = [x1, y1, x2, y2, score, label].
     """
-    B = feats[0].shape[0]
-    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    no = feats[0].shape[-1]
-    A = sum(f.shape[1] * f.shape[2] for f in feats)
+    pairs = [(f[..., : 4 * reg_max], f[..., 4 * reg_max:]) for f in feats]
+    return decode_feats_topk_split(pairs, strides, nc, reg_max, max_det)
+
+
+def decode_feats_topk_split(
+    pairs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    strides: Sequence[float],
+    nc: int,
+    reg_max: int = 16,
+    max_det: int = 300,
+) -> jnp.ndarray:
+    """decode_feats_topk over per-level (box_map, cls_map) PAIRS.
+
+    The serving head keeps the 4*reg_max box map and the nc cls map separate
+    (V10Detect split=True): the per-level 64++nc channel concat is pure
+    layout traffic (~0.4 ms/step on v10m b32), and the decode only ever
+    reads the two halves independently anyway.
+    """
+    B = pairs[0][0].shape[0]
+    feat_shapes = [(bm.shape[1], bm.shape[2]) for bm, _ in pairs]
+    A = sum(h * w for h, w in feat_shapes)
     k1 = min(max_det, A)
 
     # stage 1 on raw logits (sigmoid is monotonic). The class max reduces
@@ -305,24 +345,31 @@ def decode_feats_topk(
     # never materialized in a relayout; all math stays in the feats' dtype
     # (bf16 on the serving path) and only the k1 selected rows go to f32.
     max_logit = jnp.concatenate(
-        [jnp.max(f[..., 4 * reg_max:], axis=-1).reshape(B, -1) for f in feats], axis=1
+        [jnp.max(cm, axis=-1).reshape(B, -1) for _, cm in pairs], axis=1
     ).astype(jnp.float32)  # (B, A)
-    _, idx = jax.lax.top_k(max_logit, k1)  # (B, k1)
+    _, idx = _topk(max_logit, k1)  # (B, k1)
     # gather the k1 survivor rows per level WITHOUT materializing the
     # (B, A, no) concat (profiled ~0.8 ms of pad+concat HBM traffic on v10m
     # b32): each level contributes via a masked 300-row gather instead.
-    sel = jnp.zeros((B, k1, no), feats[0].dtype)
+    sel_box = jnp.zeros((B, k1, 4 * reg_max), pairs[0][0].dtype)
+    sel_cls = jnp.zeros((B, k1, nc), jnp.float32)
     off = 0
-    for f in feats:
-        n_l = f.shape[1] * f.shape[2]
+    bidx = jnp.arange(B, dtype=idx.dtype)[:, None]
+    for bm, cm in pairs:
+        W = bm.shape[2]
+        n_l = bm.shape[1] * W
         rel = idx - off
         in_lvl = (rel >= 0) & (rel < n_l)
         safe = jnp.clip(rel, 0, n_l - 1)
-        got = jnp.take_along_axis(f.reshape(B, n_l, no), safe[..., None], axis=1)
-        sel = jnp.where(in_lvl[..., None], got, sel)
+        # gather by 2-D (row, col) coordinates instead of flattening the
+        # (B, H, W, no) map first: the serving layout keeps H outer-minor,
+        # so the (B, H*W, no) reshape materializes a relayout copy (~0.5
+        # ms/step on v10m b32, xplane-profiled); a coordinate gather reads
+        # the map in place
+        hh, ww = safe // W, safe % W
+        sel_box = jnp.where(in_lvl[..., None], bm[bidx, hh, ww], sel_box)
+        sel_cls = jnp.where(in_lvl[..., None], cm[bidx, hh, ww].astype(jnp.float32), sel_cls)
         off += n_l
-    sel_box = sel[..., : 4 * reg_max]
-    sel_cls = sel[..., 4 * reg_max:].astype(jnp.float32)
 
     anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
     sel_anchors = jnp.take_along_axis(
@@ -339,7 +386,7 @@ def decode_feats_topk(
     # stage 2: flattened (anchor, class) top-k (ops.py:851-864 semantics)
     flat_scores = scores.reshape(B, -1)
     k2 = min(max_det, flat_scores.shape[-1])
-    out_scores, fidx = jax.lax.top_k(flat_scores, k2)
+    out_scores, fidx = _topk(flat_scores, k2)
     labels = (fidx % nc).astype(jnp.int32)
     arow = fidx // nc
     out_boxes = jnp.take_along_axis(dbox, arow[..., None], axis=1)

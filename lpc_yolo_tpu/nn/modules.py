@@ -268,11 +268,33 @@ class C2f(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, up_pair=None):
         c = int(self.c2 * self.e)
-        if self.deploy and not training and self.g == 1:
+        if self.deploy and not training and self.g == 1 and up_pair is None:
             return self._deploy_call(x, c)
-        y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        if up_pair is not None and not training and DEPLOY_MATH.get() and self.pack == 1:
+            # upsample-commute (serving graphs): this C2f's input is
+            # concat([up2(x_small), skip]) and cv1 is 1x1, so the x_small
+            # part of cv1 commutes through the NEAREST upsample:
+            #   cv1(concat([up(xs), sk])) == up(conv(xs, Wa)) + conv(sk, Wb) + b
+            # (input-row split of the kernel). The conv over the upsampled
+            # map runs at 1/4 the spatial cost and the 2x-repeat broadcast
+            # writes out-channels instead of in-channels (~0.6 ms/step
+            # across v10m's two neck junctions, xplane-profiled).
+            x_small, skip = up_pair
+            cs = x_small.shape[-1]
+            c1 = cs + skip.shape[-1]
+            w, b = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
+            w = w.astype(self.dtype)
+            conv1 = lambda t, wk: jax.lax.conv_general_dilated(
+                t, jax.lax.optimization_barrier(wk), (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            a = conv1(x_small, w[:, :, :cs])
+            a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
+            y = mish(a + conv1(skip, w[:, :, cs:]) + b.astype(self.dtype))
+        else:
+            y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             ys.append(
@@ -290,24 +312,12 @@ class C2f(nn.Module):
         layout = ("NHWC", "HWIO", "NHWC")
         c1 = x.shape[-1]
         if self.pack > 1:
-            c1 = c1 // self.pack_in
+            return self._deploy_call_packed(x, c, c1 // self.pack_in)
         w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
         w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
         bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
-        if self.pack > 1:
-            # width-packed serving layout: every bias broadcast tiles over the
-            # pack-repeated channel blocks; convs rewrite via packed_conv
-            b_cv1 = jnp.tile(b_cv1, self.pack)
-            b_cv2 = jnp.tile(b_cv2, self.pack)
-            bots = [
-                ((w1, jnp.tile(b1, self.pack)), (w2, jnp.tile(b2, self.pack)))
-                for (w1, b1), (w2, b2) in bots
-            ]
 
-        def conv(t, w, p=0, first=False):
-            if self.pack > 1:
-                p_in = self.pack_in if first else self.pack
-                return packed_conv(t, w.astype(dt), 1, p_in, self.pack)
+        def conv(t, w, p=0):
             # barrier: keep the kernel-algebra (pad/sum/concat of folded
             # kernels) from fusing into the conv and recomputing per tile
             return jax.lax.conv_general_dilated(
@@ -318,7 +328,7 @@ class C2f(nn.Module):
         def pad_front(w):  # consume full y (2c ch), select the b half
             return jnp.concatenate([jnp.zeros_like(w[:, :, :c]), w], axis=2)
 
-        y = mish(conv(x, w_cv1, first=True) + b_cv1.astype(dt))
+        y = mish(conv(x, w_cv1) + b_cv1.astype(dt))
         gs = []
         for k in range(self.n):
             (w1, b1), (w2, b2) = bots[k]
@@ -345,6 +355,62 @@ class C2f(nn.Module):
             for k in range(self.n):
                 out = out + conv(gs[k], w_m[k])
         return mish(out + b_cv2.astype(dt))
+
+    def _deploy_call_packed(self, x, c, c1):
+        """Width-packed 'packed-plain' rewrite: the plain C2f dataflow with
+        every conv in packed form and zero slice/concat relayouts.
+
+        The O(n^2) kernel-sum rewrite above pays pad_front (doubled first-conv
+        input channels) plus n(n-1)/2 extra convs — xplane-profiled at ~3x
+        the block's logical FLOPs on v10m's C2f96. Here instead:
+          * cv1 splits into a/b convs by slicing its OUT channels at trace
+            time (kernel slice == activation slice, but free);
+          * the bottleneck chain materializes m_k directly (packed residual
+            adds are elementwise — no decomposition needed);
+          * cv2 consumes the naive channel-concat of packed pieces through a
+            BLOCK-PERMUTED packed kernel: concat order is piece-major
+            ([piece][subpixel][c]) while a packed kernel expects
+            subpixel-major, so the scatter maps input block (q*P + j) to
+            w_cv2's piece-q rows for output block j.
+        Logical FLOP overhead is exactly the pack factor (the usual packed
+        zero-block cost) — no structural extra terms.
+        """
+        dt = self.dtype
+        P = self.pack
+        w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
+        w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
+        bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
+
+        a = packed_conv(
+            x, w_cv1[..., :c].astype(dt), 1, self.pack_in, P,
+            b=b_cv1[:c].astype(dt), act="mish",
+        )
+        m = packed_conv(
+            x, w_cv1[..., c:].astype(dt), 1, self.pack_in, P,
+            b=b_cv1[c:].astype(dt), act="mish",
+        )
+        ys = [a, m]
+        for k in range(self.n):
+            (w1, b1), (w2, b2) = bots[k]
+            t = packed_conv(m, w1.astype(dt), 1, P, P, b=b1.astype(dt), act="mish")
+            t = packed_conv(t, w2.astype(dt), 1, P, P, b=b2.astype(dt), act="mish")
+            m = m + t if self.shortcut else t
+            ys.append(m)
+
+        y = jnp.concatenate(ys, axis=-1)
+        n_pieces = 2 + self.n
+        Wp = jnp.zeros((1, 1, n_pieces * P * c, P * self.c2), w_cv2.dtype)
+        for q in range(n_pieces):
+            for j in range(P):
+                Wp = Wp.at[
+                    0, 0, (q * P + j) * c:(q * P + j + 1) * c,
+                    j * self.c2:(j + 1) * self.c2,
+                ].set(w_cv2[0, 0, q * c:(q + 1) * c, :])
+        Wp = jax.lax.optimization_barrier(Wp.astype(dt))
+        out = jax.lax.conv_general_dilated(
+            y, Wp, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return mish(out + jnp.tile(b_cv2.astype(dt), P))
 
 
 class SPPF(nn.Module):

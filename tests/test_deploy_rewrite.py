@@ -86,11 +86,16 @@ def test_deploy_wpack_prefix_parity(pair):
         (16, 64, 64, 64, 3, 1, 2, 2),
         (16, 64, 192, 64, 1, 1, 1, 2),  # pack-on-entry (neck C2f cv1)
         (16, 64, 48, 16, 3, 1, 1, 8),   # pack-on-entry with k3
-        (16, 64, 3, 48, 3, 2, 8, 8),    # v10m stem: 48ch at P=8 (gcd rule)
-        (16, 64, 48, 96, 3, 2, 8, 4),   # v10m conv1: 48@P8 -> 96@P4
-        (16, 64, 96, 96, 1, 1, 4, 4),   # v10m C2f96 cv1 (384 dense lanes)
-        (16, 64, 48, 48, 3, 1, 4, 4),   # v10m C2f96 interior 3x3
+        (16, 64, 3, 48, 3, 2, 8, 8),    # v10m stem under the old gcd rule
+        (16, 64, 48, 96, 3, 2, 8, 4),   # old v10m conv1: 48@P8 -> 96@P4
+        (16, 64, 96, 96, 1, 1, 4, 4),   # old v10m C2f96 cv1 (384 dense lanes)
+        (16, 64, 48, 48, 3, 1, 4, 4),   # old v10m C2f96 interior 3x3
         (16, 64, 96, 192, 3, 2, 4, 2),  # v10m stage-2 boundary: chain continuation
+        (16, 64, 3, 48, 3, 2, 8, 4),    # v10m stem, re-tuned plan: (8,4)
+        (16, 64, 48, 96, 3, 2, 2, 1),   # v10m conv1: in-conv chain ending (2,1)
+        (16, 64, 96, 96, 1, 1, 1, 2),   # v10m C2f96 cv1 pack-on-entry
+        (16, 64, 48, 48, 3, 1, 2, 2),   # v10m C2f96 interior at P2
+        (16, 64, 96, 192, 3, 2, 2, 1),  # v10m stage-2 boundary: (2,1) ending
     ],
     ids=lambda v: str(v),
 )
@@ -139,3 +144,77 @@ def test_repack_width_is_pure_reshape():
         b = repack_width(a, pf, pt) if pt > 1 else unpack_width(a, pf)
         ref = pack_width(x, pt) if pt > 1 else x
         np.testing.assert_array_equal(np.asarray(b), np.asarray(ref))
+
+
+def test_deploy_upsample_commute_parity():
+    """The FPN-neck upsample-commute (compiler._up_fusion_plan + C2f up_pair)
+    must match the plain NHWC build: cv1 is 1x1, so its upsampled-input rows
+    commute through the nearest 2x upsample exactly (float-reassociation
+    tolerance only)."""
+    cfg = {
+        "nc": 8,
+        "backbone": [
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [192, 3, 2]],
+            [-1, 1, "Conv", [256, 3, 2]],
+            [-1, 1, "nn.Upsample", ["None", 2, "nearest"]],
+            [[-1, 1], 1, "Concat", [1]],
+            [-1, 1, "C2f", [192, False]],
+        ],
+        "head": [[[2, 5], 1, "v10Detect", ["nc"]]],
+    }
+    plain = build_model(cfg)
+    dep = build_model(cfg, deploy=True)
+    from lpc_yolo_tpu.nn.compiler import _up_fusion_plan
+
+    assert _up_fusion_plan(dep.specs, dep.save), "triple not detected"
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = jnp.asarray(np.random.RandomState(7).rand(2, 64, 64, 3), jnp.float32)
+    a = plain.apply(variables, x, training=False, predict_only=True)["det"]
+    b = dep.apply(variables, x, training=False, predict_only=True)["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_repack_width_pallas_matches_reshape():
+    """ops.pallas_layout.repack_width_pallas must be value-identical to the
+    pure-reshape repack for every serving transition (down-repack + unpack).
+    Interpret mode; tiny shapes keep it fast."""
+    from lpc_yolo_tpu.ops.pallas_layout import repack_width_pallas
+    from lpc_yolo_tpu.nn.modules import repack_width, unpack_width
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 4, 4 * 6), jnp.float32)
+    for pf, pt in [(4, 2), (4, 1), (2, 1)]:
+        xx = x if pf == 4 else repack_width(x, 4, 2)
+        ref = repack_width(xx, pf, pt) if pt > 1 else unpack_width(xx, pf)
+        got = repack_width_pallas(xx, pf, pt, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_deploy_wpack_mid_channel_plan_parity():
+    """WPACK parity through the re-tuned mid-channel plan paths.
+
+    A tiny graph reproducing the v10m stem pattern (Conv48 s2 -> Conv96 s2 ->
+    C2f96 -> Conv192 s2 -> head) exercises every new plan combination —
+    stem chain (8,4), in-conv chain ending (2,1), C2f pack-on-entry (1,2)
+    with P2 interiors — and must match the plain NHWC build to float
+    tolerance (same exactness argument as the v10n prefix test)."""
+    cfg = {
+        "nc": 8,
+        "backbone": [
+            [-1, 1, "Conv", [48, 3, 2]],
+            [-1, 1, "Conv", [96, 3, 2]],
+            [-1, 2, "C2f", [96, True]],
+            [-1, 1, "Conv", [192, 3, 2]],
+        ],
+        "head": [[[1, 2, 3], 1, "v10Detect", ["nc"]]],
+    }
+    plain = build_model(cfg)
+    dep = build_model(cfg, deploy=True)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = np.random.RandomState(5).rand(2, 64, 64, 3).astype(np.float32)
+    a = plain.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    b = dep.apply(
+        variables, jnp.asarray(x.reshape(2, 64, 8, 24)),
+        training=False, predict_only=True, input_layout="WPACK",
+    )["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -98,6 +98,25 @@ def test_fused_decode_matches_full_decode():
         np.testing.assert_allclose(sa, sb, atol=1e-4)
 
 
+def test_topk_helper_exact():
+    """heads._topk (approx_max_k at recall 1.0) must return the exact top-k.
+
+    The serving decode swapped lax.top_k for the PartialReduce lowering
+    (several times faster on TPU for wide inputs); this pins value-exactness
+    and index-set equality against lax.top_k on the decode's real shapes."""
+    from lpc_yolo_tpu.nn.heads import _topk
+
+    for shape, k, seed in (((32, 8400), 300, 0), ((32, 24000), 300, 1), ((2, 500), 300, 2)):
+        x = jnp.asarray(np.random.RandomState(seed).randn(*shape).astype(np.float32))
+        ev, ei = jax.lax.top_k(x, min(k, shape[-1]))
+        av, ai = _topk(x, min(k, shape[-1]))
+        np.testing.assert_array_equal(np.asarray(ev), np.asarray(av))
+        # ties may permute between implementations; compare index sets
+        assert all(
+            set(np.asarray(ei)[b]) == set(np.asarray(ai)[b]) for b in range(shape[0])
+        )
+
+
 def test_fuse_conv_bn_exact():
     """BN fold must be numerically exact at inference (fuse semantics)."""
     from lpc_yolo_tpu.nn.fuse import fuse_conv_bn

@@ -34,8 +34,12 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"),
         dtype=jnp.bfloat16, deploy=True)
-    variables = fuse_conv_bn(model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True))
-    vfold = fold_preprocess(variables)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = fuse_conv_bn(
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+        )
+        vfold = fold_preprocess(variables)
+    vfold = jax.device_put(vfold, jax.devices()[0])
 
     @jax.jit
     def step(v, x):
