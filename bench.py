@@ -104,7 +104,7 @@ def _model_gflops(model, variables, batch, imgsz):
         return 0.0
 
 
-def bench_scale(scale, batch=32, imgsz=640, iters=16):
+def bench_scale(scale, batch=32, imgsz=640, iters=48):
     from lpc_yolo_tpu.nn.fuse import fold_preprocess
 
     model, variables = _build(scale)

@@ -34,6 +34,20 @@ def _box_bias_init(key, shape, dtype=jnp.float32):
     return jnp.ones(shape, dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv's (kernel, bias) variable pair without executing it —
+    lets the packed serving tower reuse the exact training-time param tree."""
+
+    shape: Tuple[int, ...]
+    bias_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kaiming_uniform(), self.shape, jnp.float32)
+        b = self.param("bias", self.bias_init, (self.shape[-1],), jnp.float32)
+        return k, b
+
+
 def _v8_towers(xs, nc, ch, strides, reg_max, dtype, training):
     """The v8 Detect box+cls towers (head.py:38-43). A plain helper so Segment/
     Pose/OBB heads create the same flat param names (cv2_i_j / cv3_i_j) as the
@@ -238,19 +252,40 @@ class V10Detect(nn.Module):
         c3 = max(self.ch[0], min(self.nc, 100))
 
         def branch(xs_in, pbox, pcls):
+            from .modules import _FusedConvBN, packed_conv
+
             outs = []
             for i, x in enumerate(xs_in):
-                b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_0")(x, training)
-                b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_1")(b, training)
-                b = nn.Conv(
-                    4 * self.reg_max,
-                    (1, 1),
-                    use_bias=True,
-                    kernel_init=kaiming_uniform(),
-                    bias_init=_box_bias_init,
-                    dtype=self.dtype,
-                    name=f"{pbox}_{i}_2",
-                )(b)
+                pack = 2 if (split and c2 < 128 and x.shape[2] % 2 == 0) else 1
+                if pack > 1:
+                    # serving path: the box tower's c2=64 output maps waste
+                    # half the lane tile; run the whole tower width-packed P2
+                    # (128 lanes) through the final 1x1 — the decode gathers
+                    # straight from the packed map, so no unpack copy either
+                    # (~0.3 ms/step across v10m's levels, xplane-profiled)
+                    w1, bf1 = _FusedConvBN(self.ch[i], c2, 3, name=f"{pbox}_{i}_0")()
+                    b = packed_conv(x, w1.astype(self.dtype), 1, 1, pack,
+                                    b=bf1.astype(self.dtype), act=True)
+                    w2, bf2 = _FusedConvBN(c2, c2, 3, name=f"{pbox}_{i}_1")()
+                    b = packed_conv(b, w2.astype(self.dtype), 1, pack, pack,
+                                    b=bf2.astype(self.dtype), act=True)
+                    wf, bff = _ConvParams(
+                        (1, 1, c2, 4 * self.reg_max), _box_bias_init, name=f"{pbox}_{i}_2"
+                    )()
+                    b = packed_conv(b, wf.astype(self.dtype), 1, pack, pack,
+                                    b=bff.astype(self.dtype))
+                else:
+                    b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_0")(x, training)
+                    b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_1")(b, training)
+                    b = nn.Conv(
+                        4 * self.reg_max,
+                        (1, 1),
+                        use_bias=True,
+                        kernel_init=kaiming_uniform(),
+                        bias_init=_box_bias_init,
+                        dtype=self.dtype,
+                        name=f"{pbox}_{i}_2",
+                    )(b)
                 # lightweight cls tower: (DW3x3 -> 1x1) x2 -> 1x1 (head.py:503-506)
                 ci = self.ch[i]
                 c = ConvBN(ci, 3, g=ci, dtype=self.dtype, name=f"{pcls}_{i}_0_0")(x, training)
@@ -286,17 +321,27 @@ class V10Detect(nn.Module):
 
 
 def _topk(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact top-k via approx_max_k's PartialReduce lowering (recall 1.0).
+    """Exact top-k tuned for the TPU TopK custom call's row parallelism.
 
-    On TPU, lax.top_k lowers to a TopK custom call that cost ~1.1 ms for
-    (32, 24000) f32 (xplane-profiled, v10m b32 decode); approx_max_k with
-    recall_target=1.0 + aggregate_to_topk lowers to a two-stage
-    PartialReduce that returns the same exact sorted top-k values several
-    times faster. Tie-breaking between exactly-equal scores may order
-    indices differently from lax.top_k; detection scores are continuous
-    floats, so ties are measure-zero (and downstream consumers treat
-    detections as a set).
+    The custom call's cost scales with the row LENGTH, not the row count
+    (32 rows underfill the vector lanes): splitting each row into S
+    segments, top-k'ing the (B*S, N/S) view, and merging the S*k segment
+    winners is mathematically exact (top-k of a union == top-k of the
+    per-part top-ks) and benched 1.24 ms vs 1.93 ms for the decode's
+    (32, 24000) -> 300 at S=8. Narrow inputs keep approx_max_k at
+    recall 1.0 (lowered to a cheap single sort for bf16 stage-1 shapes).
+    Tie order between exactly-equal scores may differ from lax.top_k;
+    detection scores are continuous floats, so ties are measure-zero.
     """
+    B, N = x.shape
+    S = 8
+    if N >= 16000 and N % S == 0 and N // S >= k:
+        s, i = jax.lax.top_k(x.reshape(B * S, N // S), k)
+        offs = (jnp.arange(S, dtype=i.dtype) * (N // S))[None, :, None]
+        s = s.reshape(B, S * k)
+        i = (i.reshape(B, S, k) + offs).reshape(B, S * k)
+        so, kk = jax.lax.top_k(s, k)
+        return so, jnp.take_along_axis(i, kk, axis=1)
     return jax.lax.approx_max_k(x, k, recall_target=1.0)
 
 
@@ -336,7 +381,9 @@ def decode_feats_topk_split(
     reads the two halves independently anyway.
     """
     B = pairs[0][0].shape[0]
-    feat_shapes = [(bm.shape[1], bm.shape[2]) for bm, _ in pairs]
+    # box maps may arrive width-packed from the serving tower (V10Detect
+    # packs the c2=64 box tower at P2); the cls map defines the true grid
+    feat_shapes = [(cm.shape[1], cm.shape[2]) for _, cm in pairs]
     A = sum(h * w for h, w in feat_shapes)
     k1 = min(max_det, A)
 
@@ -356,8 +403,8 @@ def decode_feats_topk_split(
     off = 0
     bidx = jnp.arange(B, dtype=idx.dtype)[:, None]
     for bm, cm in pairs:
-        W = bm.shape[2]
-        n_l = bm.shape[1] * W
+        W = cm.shape[2]
+        n_l = cm.shape[1] * W
         rel = idx - off
         in_lvl = (rel >= 0) & (rel < n_l)
         safe = jnp.clip(rel, 0, n_l - 1)
@@ -367,7 +414,16 @@ def decode_feats_topk_split(
         # ms/step on v10m b32, xplane-profiled); a coordinate gather reads
         # the map in place
         hh, ww = safe // W, safe % W
-        sel_box = jnp.where(in_lvl[..., None], bm[bidx, hh, ww], sel_box)
+        if bm.shape[2] != W:
+            # width-packed box map: pixel (h, w) lives in column w//P at
+            # channel block (w%P); gather the packed column then pick the
+            # sub-block — no unpack of the full map needed
+            P = W // bm.shape[2]
+            got = bm[bidx, hh, ww // P].reshape(B, k1, P, 4 * reg_max)
+            got = jnp.take_along_axis(got, (ww % P)[..., None, None], axis=2)[:, :, 0]
+        else:
+            got = bm[bidx, hh, ww]
+        sel_box = jnp.where(in_lvl[..., None], got, sel_box)
         sel_cls = jnp.where(in_lvl[..., None], cm[bidx, hh, ww].astype(jnp.float32), sel_cls)
         off += n_l
 
@@ -383,7 +439,11 @@ def decode_feats_topk_split(
     dbox = dist2bbox(dist, sel_anchors, xywh=True) * sel_strides
     scores = jax.nn.sigmoid(sel_cls)
 
-    # stage 2: flattened (anchor, class) top-k (ops.py:851-864 semantics)
+    # stage 2: flattened (anchor, class) top-k (ops.py:851-864 semantics).
+    # (A per-anchor top-7 decomposition with a lax.cond exact-fallback was
+    # benched 0.4 ms SLOWER in-graph despite winning in isolation — the
+    # conditional serializes against the decode tail — so the single TopK
+    # custom call stays.)
     flat_scores = scores.reshape(B, -1)
     k2 = min(max_det, flat_scores.shape[-1])
     out_scores, fidx = _topk(flat_scores, k2)

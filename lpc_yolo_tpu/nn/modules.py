@@ -381,14 +381,12 @@ class C2f(nn.Module):
         w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
         bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
 
-        a = packed_conv(
-            x, w_cv1[..., :c].astype(dt), 1, self.pack_in, P,
-            b=b_cv1[:c].astype(dt), act="mish",
+        y1 = packed_conv_grouped_out(
+            x, w_cv1.astype(dt), 1, self.pack_in, P, (c, c),
+            b=b_cv1.astype(dt), act="mish",
         )
-        m = packed_conv(
-            x, w_cv1[..., c:].astype(dt), 1, self.pack_in, P,
-            b=b_cv1[c:].astype(dt), act="mish",
-        )
+        a = y1[..., : P * c]
+        m = y1[..., P * c:]
         ys = [a, m]
         for k in range(self.n):
             (w1, b1), (w2, b2) = bots[k]
@@ -1267,6 +1265,44 @@ def pack_conv_kernel(w, P_in: int, P_out: int, s: int):
     # Wpo = (Wip + padL + padR - kwp)/sp + 1 with Wpo = Wip*P_in/(s*P_out)
     padR = None  # resolved at call site from the actual input width
     return Wp, sp, padL, kwp
+
+
+def packed_conv_grouped_out(x, w, s: int, P_in: int, P_out: int, groups, b=None, act=None):
+    """packed_conv whose packed OUTPUT channels are re-grouped: each original
+    out-channel group q (sizes in `groups`) becomes lane-contiguous across
+    subpixels — layout [q][j][c_q] instead of [j][all-c] — so callers can
+    split the result into independent P_out-packed tensors with plain lane
+    slices. Used by the packed-plain C2f to emit cv1's (a, b) halves from ONE
+    conv (N = P*2c dense) instead of two half-width (N = P*c) convs.
+    """
+    kh = w.shape[0]
+    ph = kh // 2
+    cout = w.shape[-1]
+    Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s)
+    import numpy as _np
+
+    starts = _np.cumsum([0] + list(groups))
+    perm = [
+        j * cout + int(starts[qi]) + o
+        for qi, g in enumerate(groups)
+        for j in range(P_out)
+        for o in range(g)
+    ]
+    perm = jnp.asarray(_np.asarray(perm, _np.int32))
+    Wp = jax.lax.optimization_barrier(Wp[:, :, :, perm])
+    wip = x.shape[2]
+    wpo = wip * P_in // (s * P_out)
+    padR = sp * (wpo - 1) + kwp - wip - padL
+    assert padR >= 0, (kh, s, P_in, P_out, padR)
+    y = jax.lax.conv_general_dilated(
+        x, Wp, (s, sp), [(ph, ph), (padL, padR)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, P_out)[perm]
+    if act is not None:
+        y = apply_act(y, act)
+    return y
 
 
 def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):

@@ -190,6 +190,22 @@ def test_repack_width_pallas_matches_reshape():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_conv3x3_pallas_matches_lax():
+    """ops.pallas_conv.conv3x3_pallas (implicit-GEMM experiment; not wired
+    into the serving graph — benched at parity with XLA's conv emitter on
+    v5e) must match lax.conv exactly. Interpret mode, tiny shape."""
+    from lpc_yolo_tpu.ops.pallas_conv import conv3x3_pallas
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 16) - 0.5, jnp.float32)
+    w = jnp.asarray(np.random.RandomState(1).rand(3, 3, 16, 8) * 0.2, jnp.float32)
+    b = jnp.asarray(np.random.RandomState(2).rand(8), jnp.float32)
+    got = conv3x3_pallas(x, w, b, act=False, hb=4, interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
 def test_deploy_wpack_mid_channel_plan_parity():
     """WPACK parity through the re-tuned mid-channel plan paths.
 

@@ -91,6 +91,16 @@ def test_fused_decode_matches_full_decode():
     fused = decode_feats_topk(feats, m.strides, m.nc, max_det=300)
     # identical score ordering; compare row sets after lexsort (ties may permute)
     a, b = np.asarray(full), np.asarray(fused)
+    # the end-to-end serving path (split head + packed box tower + split
+    # decode) must agree with the full decode of the same inference-mode
+    # forward (training-mode feats differ: batch vs running BN stats)
+    po = m.apply(v, x, training=False)
+    full_inf = np.asarray(v10_detections(po["pred"], 300, m.nc))
+    served = np.asarray(m.apply(v, x, training=False, predict_only=True)["det"])
+    for i in range(full_inf.shape[0]):
+        sa = full_inf[i][np.lexsort(full_inf[i].T[::-1])]
+        sc = served[i][np.lexsort(served[i].T[::-1])]
+        np.testing.assert_allclose(sa, sc, atol=0.1)
     np.testing.assert_allclose(a[..., 4], b[..., 4], atol=1e-6)  # scores identical
     for i in range(a.shape[0]):
         sa = a[i][np.lexsort(a[i].T[::-1])]
