@@ -314,7 +314,39 @@ def _pack_of(c2: int) -> int:
     return p if p > 1 else 0
 
 
-def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
+def _s2d_fuse_plan(specs, save) -> Dict[int, int]:
+    """Serving-graph space_to_depth fold sites: {consumer_i: s2d_i}.
+
+    Matches `space_to_depth` -> Conv/C2f(-1) pairs where the s2d output has
+    no other consumers. The s2d is a pure layout op (4x channel, 1/2 spatial
+    strided-slice concat, reference block.py:4063); folding it into the next
+    conv's kernel (modules.s2d_fold_kernel: 1x1 -> 2x2 stride-2, kxk ->
+    2kx2k stride-2) deletes the relayout traffic entirely and keeps the
+    width-pack chain unbroken across the LPC backbone's stage boundaries.
+    """
+    plan: Dict[int, int] = {}
+    for k in range(len(specs) - 1):
+        a, b = specs[k], specs[k + 1]
+        if a.module != "space_to_depth" or a.f != (-1,) or a.i in save:
+            continue
+        if b.f != (-1,) or b.n != 1:
+            continue
+        if b.module == "Conv":
+            # same constraints as the ConvBN fold: 'same' padding, no
+            # groups/dilation (mirrors the packed-conv gating)
+            if len(b.args) > 4 and b.args[4] not in (None, "None"):
+                continue
+            if len(b.args) > 5 and b.args[5] != 1:
+                continue
+            if len(b.args) > 6 and b.args[6] != 1:
+                continue
+            plan[b.i] = a.i
+        elif b.module == "C2f" and (len(b.args) <= 4 or b.args[4] == 1):
+            plan[b.i] = a.i
+    return plan
+
+
+def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False) -> Optional[Tuple[int, int]]:
     """Pack plan for a layer given the arriving pack factor.
 
     Returns (p_in_used, p_out), or None to run unpacked. Repacking between
@@ -330,6 +362,8 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
     p_out = _pack_of(spec.c2)
     if spec.module == "Conv":
         s = spec.args[3] if len(spec.args) > 3 else 1
+        if fold_s2d:
+            s = 2 * s  # folded conv runs at 2x stride on the pre-s2d map
         if len(spec.args) > 4 and spec.args[4] not in (None, "None"):
             return None  # explicit padding: packed_conv assumes 'same'
         if len(spec.args) > 5 and spec.args[5] != 1:
@@ -341,7 +375,7 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
         # starve K (a 3-ch input at P=2 gives K=54), so when the direct
         # chain (s*P_out % P_in == 0) is unavailable continue at P_in/s and
         # let the next layer decide
-        c1 = spec.args[0]
+        c1 = spec.args[0] // 4 if fold_s2d else spec.args[0]
         stem_feed = (
             p_in > 1
             and isinstance(c1, int)
@@ -388,6 +422,12 @@ def _wpack_out(spec: LayerSpec, p_in: int) -> Optional[Tuple[int, int]]:
         p_out *= 2
     if p_out <= 1:
         return None
+    if fold_s2d:
+        # folded cv1 runs at stride 2: the packed form needs
+        # (2 * p_out) % p_used == 0 — all factors are powers of two, so the
+        # largest usable arrival pack is min(p_in, 2 * p_out)
+        p_used = min(p_in, 2 * p_out) if p_in > 1 else 1
+        return (p_used, p_out)
     return (p_out if p_in > 1 else 1, p_out)
 
 
@@ -441,7 +481,7 @@ def _repack(x, p_from: int, p_to: int):
 
 
 def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
-                  pack_in: int = 1, pack_out: int = 1):
+                  pack_in: int = 1, pack_out: int = 1, s2d_in: bool = False):
     """Instantiate the linen module for a compiled LayerSpec."""
     m, a = spec.module, spec.args
     if m == "Conv":
@@ -454,7 +494,7 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
         act = "silu" if (len(a) <= 7 or a[7] is True) else (a[7] or False)
         return M.ConvBN(
             c2, k, s, p=p, g=g, d=d, act=act,
-            pack_in=pack_in, pack_out=pack_out, dtype=dtype, name=name,
+            pack_in=pack_in, pack_out=pack_out, s2d_in=s2d_in, dtype=dtype, name=name,
         )
     if m == "DWConv":
         import math as _math
@@ -483,7 +523,7 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
         return M.C2f(
             a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False,
             deploy=dep, pack=pack_out, pack_in=pack_in if pack_out > 1 else 1,
-            dtype=dtype, name=name,
+            s2d_in=s2d_in, dtype=dtype, name=name,
         )
     if m == "C3":
         return M.C3(a[1], n=a[2], shortcut=a[3] if len(a) > 3 else True, dtype=dtype, name=name)
@@ -656,6 +696,12 @@ class DetectionModel(nn.Module):
         )
         up_skip = {i for triple in up_plan.values() for i in triple[:2]}
         up_pending: Dict[int, jnp.ndarray] = {}
+        s2d_plan = (
+            _s2d_fuse_plan(self.specs, self.save)
+            if (self.deploy and not training)
+            else {}
+        )
+        s2d_sites = set(s2d_plan.values())
         for spec in self.specs:
             name = f"model_{spec.i}"
             is_last = spec.i == self.specs[-1].i
@@ -665,6 +711,11 @@ class DetectionModel(nn.Module):
                 # directly (upsample-commute, see _up_fusion_plan)
                 if spec.module == "nn.Upsample":
                     up_pending[spec.i] = x if spec.f[0] == -1 else y[spec.f[0]]
+                continue
+            if spec.i in s2d_sites:
+                # space_to_depth folded into the next layer's conv kernel
+                # (modules.s2d_fold_kernel): the layout op never
+                # materializes; x stays the pre-s2d map at its current pack
                 continue
 
             # greedy width-pack plan (deploy serving path): any single-input
@@ -676,7 +727,8 @@ class DetectionModel(nn.Module):
             # carries pack.
             single_prev = len(spec.f) == 1 and spec.f[0] == -1
             p_in = cur_pack if single_prev else 1
-            plan = _wpack_out(spec, p_in) if wpack_on else None
+            fold = spec.i in s2d_plan
+            plan = _wpack_out(spec, p_in, fold_s2d=fold) if wpack_on else None
             if plan is None:
                 p_out = 0
                 if cur_pack > 1 and -1 in spec.f:
@@ -862,7 +914,7 @@ class DetectionModel(nn.Module):
             elif p_out:
                 module = _build_module(
                     spec, self.dtype, name, deploy=self.deploy,
-                    pack_in=p_in, pack_out=p_out,
+                    pack_in=p_in, pack_out=p_out, s2d_in=fold,
                 )
                 x = module(inp, training)
                 cur_pack = p_out
@@ -870,7 +922,7 @@ class DetectionModel(nn.Module):
                     y[spec.i] = _repack(x, p_out, 1)
                 continue
             else:
-                module = _build_module(spec, self.dtype, name, deploy=self.deploy)
+                module = _build_module(spec, self.dtype, name, deploy=self.deploy, s2d_in=fold)
                 x = module(inp, training)
                 cur_pack = 1
             if spec.i in self.save:

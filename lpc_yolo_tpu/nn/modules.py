@@ -89,6 +89,7 @@ class ConvBN(nn.Module):
     act: Any = "silu"  # 'silu' | 'mish' | True (silu) | False/'none'
     pack_in: int = 1  # width-pack factor of the input (deploy serving layout)
     pack_out: int = 1  # width-pack factor of the output
+    s2d_in: bool = False  # deploy: input is the PRE-space_to_depth map (fold)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,11 +101,30 @@ class ConvBN(nn.Module):
             cin = x.shape[-1]
             if packed:
                 cin = cin // self.pack_in
+            if self.s2d_in:
+                # kernel stays declared against the s2d OUTPUT (4C rows) —
+                # same variable tree as the training graph, which runs the
+                # s2d layer normally; the fold is a trace-time rearrange
+                cin = cin * 4
             w = _Kernel((kh, kw, cin // self.g, self.c2), name="conv")()
             scale, bias, mean, var = _BN(self.c2, name="bn")()
             f = scale * jax.lax.rsqrt(var + BN_EPS)
             W = (w * f).astype(self.dtype)
             b = (bias - mean * f).astype(self.dtype)
+            if self.s2d_in:
+                assert self.g == 1 and self.d == 1 and kh == kw and ph == kh // 2
+                W = s2d_fold_kernel(W)
+                pad = (2 * ph, 2 * kh - 2 - 2 * ph)
+                if packed:
+                    return packed_conv(
+                        x, W, 2 * self.s, self.pack_in, self.pack_out,
+                        b=b, act=self.act, pl=pad[0], ph=pad,
+                    )
+                y = jax.lax.conv_general_dilated(
+                    x, jax.lax.optimization_barrier(W), (2 * self.s, 2 * self.s),
+                    [pad, pad], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                return apply_act(y + b, self.act)
             if packed:
                 assert self.g == 1 and self.d == 1 and kh == kw
                 return packed_conv(x, W, self.s, self.pack_in, self.pack_out, b=b, act=self.act)
@@ -265,6 +285,7 @@ class C2f(nn.Module):
     deploy: bool = False
     pack: int = 1  # deploy-path width-pack factor (128 // c2)
     pack_in: int = 1  # input pack factor (1 = unpacked input; cv1 packs)
+    s2d_in: bool = False  # deploy: input is the PRE-space_to_depth map (fold)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -294,7 +315,7 @@ class C2f(nn.Module):
             a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
             y = mish(a + conv1(skip, w[:, :, cs:]) + b.astype(self.dtype))
         else:
-            y = ConvBN(2 * c, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+            y = ConvBN(2 * c, 1, 1, act="mish", s2d_in=self.s2d_in, dtype=self.dtype, name="cv1")(x, training)
         ys = [y[..., :c], y[..., c:]]
         for i in range(self.n):
             ys.append(
@@ -311,6 +332,8 @@ class C2f(nn.Module):
         dt = self.dtype
         layout = ("NHWC", "HWIO", "NHWC")
         c1 = x.shape[-1]
+        if self.s2d_in:
+            c1 = c1 * 4  # cv1 is declared against the s2d output (4C rows)
         if self.pack > 1:
             return self._deploy_call_packed(x, c, c1 // self.pack_in)
         w_cv1, b_cv1 = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
@@ -328,7 +351,17 @@ class C2f(nn.Module):
         def pad_front(w):  # consume full y (2c ch), select the b half
             return jnp.concatenate([jnp.zeros_like(w[:, :, :c]), w], axis=2)
 
-        y = mish(conv(x, w_cv1) + b_cv1.astype(dt))
+        if self.s2d_in:
+            # folded space_to_depth: cv1's 1x1 kernel becomes a 2x2 stride-2
+            # conv on the pre-s2d map (s2d_fold_kernel) — the s2d layout op
+            # never materializes
+            y = jax.lax.conv_general_dilated(
+                x, jax.lax.optimization_barrier(s2d_fold_kernel(w_cv1).astype(dt)),
+                (2, 2), [(0, 0), (0, 0)], dimension_numbers=layout,
+            )
+            y = mish(y + b_cv1.astype(dt))
+        else:
+            y = mish(conv(x, w_cv1) + b_cv1.astype(dt))
         gs = []
         for k in range(self.n):
             (w1, b1), (w2, b2) = bots[k]
@@ -381,10 +414,18 @@ class C2f(nn.Module):
         w_cv2, b_cv2 = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
         bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
 
-        y1 = packed_conv_grouped_out(
-            x, w_cv1.astype(dt), 1, self.pack_in, P, (c, c),
-            b=b_cv1.astype(dt), act="mish",
-        )
+        if self.s2d_in:
+            # folded space_to_depth (see _deploy_call): 2x2 stride-2 packed
+            # cv1 on the pre-s2d packed map; requires (2*P) % pack_in == 0
+            y1 = packed_conv_grouped_out(
+                x, s2d_fold_kernel(w_cv1).astype(dt), 2, self.pack_in, P, (c, c),
+                b=b_cv1.astype(dt), act="mish", pl=0, ph=(0, 0),
+            )
+        else:
+            y1 = packed_conv_grouped_out(
+                x, w_cv1.astype(dt), 1, self.pack_in, P, (c, c),
+                b=b_cv1.astype(dt), act="mish",
+            )
         a = y1[..., : P * c]
         m = y1[..., P * c:]
         ys = [a, m]
@@ -1238,28 +1279,62 @@ def repack_width(x, P_from: int, P_to: int):
     return x.reshape(b, h, wp * P_from // P_to, P_to * c)
 
 
-def pack_conv_kernel(w, P_in: int, P_out: int, s: int):
+def s2d_fold_kernel(w):
+    """Fold a 2x2 space_to_depth into the kernel of the conv that consumes it.
+
+    space_to_depth (SpaceToDepth, reference block.py:4063) is a pure layout
+    op: z[i, j, blk*C + c] = x[2i + bh, 2j + bw, c] with blk = bh + 2*bw
+    (the strided-slice concat order). A conv over z with kernel
+    w (kh, kw, 4C, cout), stride sigma, torch-'same' padding p = kh//2 is
+    therefore EXACTLY a conv over the pre-s2d map x with
+      kernel  W2 (2kh, 2kw, C, cout),  W2[2dh+bh, 2dw+bw, c, o] = w[dh, dw, blk*C+c, o]
+      stride  2*sigma
+      padding (2p, 2k-2-2p) per spatial dim.
+    On the deploy serving path this compiles the s2d away entirely (the
+    unpack -> strided-slice concat -> repack traffic it would otherwise cost)
+    and keeps the width-pack chain unbroken across stage boundaries.
+    """
+    kh, kw, c4, cout = w.shape
+    C = c4 // 4
+    rows = []
+    for q in range(2 * kh):
+        dh, bh = q // 2, q % 2
+        cols = []
+        for r in range(2 * kw):
+            dw, bw = r // 2, r % 2
+            blk = bh + 2 * bw
+            cols.append(w[dh, dw, blk * C:(blk + 1) * C])
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def pack_conv_kernel(w, P_in: int, P_out: int, s: int, pl: Optional[int] = None):
     """Rewrite an HWIO kernel for width-packed operands.
 
     Returns (Wp, sp, (padL, padR)) such that
       conv(x_packed, Wp, stride=(s, sp), pad_w=(padL, padR))
-        == pack(conv(unpack(x_packed), w, stride=(s, s), pad='same'), P_out)
+        == pack(conv(unpack(x_packed), w, stride=(s, s), pad_w=(pl, ...)), P_out)
     Requires s * P_out % P_in == 0 (all v10n prefix cases). The scatter runs
     at trace time over <=3*P_out small kernel blocks.
+
+    pl is the full-res LEFT padding of the logical conv; default kw//2 is
+    torch-style 'same' for odd kernels. Even kernels (the space_to_depth
+    fold's 2k x 2k stride-2 form) pass it explicitly.
     """
     kh, kw, cin, cout = w.shape
-    half = kw // 2
+    if pl is None:
+        pl = kw // 2
     assert (s * P_out) % P_in == 0, (s, P_in, P_out)
     sp = (s * P_out) // P_in
-    cols = sorted({(s * j + d) // P_in for j in range(P_out) for d in range(-half, half + 1)})
+    cols = sorted({(s * j + d - pl) // P_in for j in range(P_out) for d in range(kw)})
     c0, kwp = cols[0], cols[-1] - cols[0] + 1
     Wp = jnp.zeros((kh, kwp, P_in * cin, P_out * cout), w.dtype)
     for j in range(P_out):
-        for d in range(-half, half + 1):
-            t = s * j + d
+        for d in range(kw):
+            t = s * j + d - pl
             col = t // P_in - c0
             sub = t % P_in
-            Wp = Wp.at[:, col, sub * cin:(sub + 1) * cin, j * cout:(j + 1) * cout].add(w[:, d + half])
+            Wp = Wp.at[:, col, sub * cin:(sub + 1) * cin, j * cout:(j + 1) * cout].add(w[:, d])
     padL = -c0 * 1
     # output packed width must equal input packed width / sp exactly:
     # Wpo = (Wip + padL + padR - kwp)/sp + 1 with Wpo = Wip*P_in/(s*P_out)
@@ -1267,18 +1342,22 @@ def pack_conv_kernel(w, P_in: int, P_out: int, s: int):
     return Wp, sp, padL, kwp
 
 
-def packed_conv_grouped_out(x, w, s: int, P_in: int, P_out: int, groups, b=None, act=None):
+def packed_conv_grouped_out(x, w, s: int, P_in: int, P_out: int, groups, b=None, act=None,
+                            pl=None, ph=None):
     """packed_conv whose packed OUTPUT channels are re-grouped: each original
     out-channel group q (sizes in `groups`) becomes lane-contiguous across
     subpixels — layout [q][j][c_q] instead of [j][all-c] — so callers can
     split the result into independent P_out-packed tensors with plain lane
     slices. Used by the packed-plain C2f to emit cv1's (a, b) halves from ONE
     conv (N = P*2c dense) instead of two half-width (N = P*c) convs.
+
+    pl / ph override the W-left and (top, bottom) H padding for non-'same'
+    kernels (the space_to_depth fold's even-kernel stride-2 form).
     """
     kh = w.shape[0]
-    ph = kh // 2
+    ph = (kh // 2, kh // 2) if ph is None else ph
     cout = w.shape[-1]
-    Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s)
+    Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s, pl=pl)
     import numpy as _np
 
     starts = _np.cumsum([0] + list(groups))
@@ -1295,7 +1374,7 @@ def packed_conv_grouped_out(x, w, s: int, P_in: int, P_out: int, groups, b=None,
     padR = sp * (wpo - 1) + kwp - wip - padL
     assert padR >= 0, (kh, s, P_in, P_out, padR)
     y = jax.lax.conv_general_dilated(
-        x, Wp, (s, sp), [(ph, ph), (padL, padR)],
+        x, Wp, (s, sp), [ph, (padL, padR)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if b is not None:
@@ -1305,11 +1384,13 @@ def packed_conv_grouped_out(x, w, s: int, P_in: int, P_out: int, groups, b=None,
     return y
 
 
-def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):
-    """Exact width-packed conv: x (B, H, W/P_in, P_in*Cin) HWIO kernel w."""
+def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None, pl=None, ph=None):
+    """Exact width-packed conv: x (B, H, W/P_in, P_in*Cin) HWIO kernel w.
+
+    pl / ph as in packed_conv_grouped_out (default torch-'same')."""
     kh = w.shape[0]
-    ph = kh // 2
-    Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s)
+    ph = (kh // 2, kh // 2) if ph is None else ph
+    Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s, pl=pl)
     # materialize the scattered kernel ONCE: without the barrier XLA fuses the
     # dynamic-update-slice chain into the conv fusion and recomputes the
     # kernel construction per output tile (profiled: 2.2 ms for a 1x1 packed
@@ -1320,7 +1401,7 @@ def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None):
     padR = sp * (wpo - 1) + kwp - wip - padL
     assert padR >= 0, f"packed_conv invariant violated: padR={padR} for k={kh},s={s},P_in={P_in},P_out={P_out}"
     y = jax.lax.conv_general_dilated(
-        x, Wp, (s, sp), [(ph, ph), (padL, padR)],
+        x, Wp, (s, sp), [ph, (padL, padR)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if b is not None:

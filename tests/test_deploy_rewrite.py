@@ -234,3 +234,116 @@ def test_deploy_wpack_mid_channel_plan_parity():
         training=False, predict_only=True, input_layout="WPACK",
     )["det"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+@pytest.mark.parametrize("C,Co,k", [(8, 16, 1), (4, 8, 3)], ids=lambda v: str(v))
+def test_s2d_fold_kernel_exact(C, Co, k):
+    """modules.s2d_fold_kernel: conv(space_to_depth(x), w) must equal
+    conv(x, folded_w, stride 2, pad (2p, 2k-2-2p)) exactly — the s2d is a
+    pure layout op absorbed into the kernel's input rows."""
+    from lpc_yolo_tpu.nn.modules import SpaceToDepth, s2d_fold_kernel
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 12, 16, C), jnp.float32)
+    w = jnp.asarray(rng.rand(k, k, 4 * C, Co), jnp.float32)
+    z = SpaceToDepth().apply({}, x)
+    p = k // 2
+    ref = jax.lax.conv_general_dilated(
+        z, w, (1, 1), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    w2 = s2d_fold_kernel(w)
+    pad = (2 * p, 2 * k - 2 - 2 * p)
+    got = jax.lax.conv_general_dilated(
+        x, w2, (2, 2), [pad, pad], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "C,Co,k,Pi,Po",
+    [
+        (8, 16, 1, 4, 4),   # LPC stage-1 C2f cv1 (fold + direct chain)
+        (16, 32, 1, 2, 2),  # LPC stage-2
+        (8, 16, 1, 8, 4),   # repack-on-entry fold
+        (4, 8, 3, 4, 2),    # k=3 fold (SPDConv shape)
+    ],
+    ids=lambda v: str(v),
+)
+def test_packed_conv_s2d_fold_exact(C, Co, k, Pi, Po):
+    """Width-packed folded-s2d conv: packed_conv(pack(x), fold(w), s=2,
+    pl=2p, ph=(2p, 2k-2-2p)) must equal conv(s2d(x), w, 'same')."""
+    from lpc_yolo_tpu.nn.modules import (
+        SpaceToDepth, pack_width, packed_conv, s2d_fold_kernel, unpack_width,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 8, 32, C), jnp.float32)
+    w = jnp.asarray(rng.rand(k, k, 4 * C, Co), jnp.float32)
+    z = SpaceToDepth().apply({}, x)
+    p = k // 2
+    ref = jax.lax.conv_general_dilated(
+        z, w, (1, 1), [(p, p), (p, p)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    pad = (2 * p, 2 * k - 2 - 2 * p)
+    got = unpack_width(
+        packed_conv(pack_width(x, Pi), s2d_fold_kernel(w), 2, Pi, Po, pl=pad[0], ph=pad),
+        Po,
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-4)
+
+
+def test_s2d_fold_graph_parity():
+    """Deploy s2d fold end-to-end: a graph with space_to_depth -> C2f (both
+    packed and plain regimes) and space_to_depth -> Conv must match the plain
+    NHWC build in both NHWC and WPACK serving layouts."""
+    from lpc_yolo_tpu.nn.compiler import _s2d_fuse_plan
+
+    cfg = {
+        "nc": 8,
+        "backbone": [
+            [-1, 1, "Conv", [32, 3, 2]],
+            [-1, 1, "space_to_depth", [1]],
+            [-1, 1, "C2f", [64, True]],       # packed-regime C2f fold
+            [-1, 1, "space_to_depth", [1]],
+            [-1, 1, "Conv", [128, 3, 1]],     # Conv fold (k=3)
+            [-1, 1, "space_to_depth", [1]],
+            [-1, 1, "C2f", [256, True]],      # plain-path C2f fold (c2 > 128)
+        ],
+        "head": [[[2, 4, 6], 1, "v10Detect", ["nc"]]],
+    }
+    plain = build_model(cfg)
+    dep = build_model(cfg, deploy=True)
+    assert len(_s2d_fuse_plan(dep.specs, dep.save)) == 3, "fold sites not detected"
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = np.random.RandomState(9).rand(2, 64, 64, 3).astype(np.float32)
+    a = plain.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    b = dep.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    c = dep.apply(
+        variables, jnp.asarray(x.reshape(2, 64, 8, 24)),
+        training=False, predict_only=True, input_layout="WPACK",
+    )["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
+
+
+def test_lpc_deploy_parity():
+    """The full LPC-YOLO serving graph (s2d folds at all four stage
+    boundaries + packed C2f + split decode) matches its plain build."""
+    plain = build_model("lpc_yolo_tpu/cfg/models/v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml")
+    dep = build_model(
+        "lpc_yolo_tpu/cfg/models/v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml", deploy=True
+    )
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    v2 = dep.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), training=True)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    x = np.random.RandomState(11).rand(2, 64, 64, 3).astype(np.float32)
+    a = plain.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    b = dep.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    c = dep.apply(
+        variables, jnp.asarray(x.reshape(2, 64, 8, 24)),
+        training=False, predict_only=True, input_layout="WPACK",
+    )["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
