@@ -247,7 +247,10 @@ def nms_rotated(
     keep = jax.vmap(one)(off, valid)  # (B, k)
 
     sel_scores = jnp.where(keep, scores, -1.0)
-    out_scores, kidx = jax.lax.top_k(sel_scores, max_det)
+    # small-image graphs can yield fewer candidates than max_det (e.g. 189
+    # anchors at imgsz=96): take what exists, pad the fixed-shape output
+    kd = min(max_det, sel_scores.shape[1])
+    out_scores, kidx = jax.lax.top_k(sel_scores, kd)
     ok = out_scores > 0
     out_boxes = jnp.take_along_axis(cand, kidx[..., None], axis=1)
     out_labels = jnp.take_along_axis(labels, kidx, axis=1)
@@ -261,6 +264,14 @@ def nms_rotated(
         ],
         axis=-1,
     )
+    if kd < max_det:
+        pad = jnp.zeros((B, max_det - kd, det.shape[-1]), det.dtype)
+        pad = pad.at[..., -1].set(-1.0)
+        det = jnp.concatenate([det, pad], axis=1)
+        out_anchor = jnp.concatenate(
+            [out_anchor, jnp.zeros((B, max_det - kd), out_anchor.dtype)], axis=1
+        )
+        ok = jnp.concatenate([ok, jnp.zeros((B, max_det - kd), bool)], axis=1)
     if return_anchor_idx:
         return det, jnp.where(ok, out_anchor, 0)
     return det
