@@ -43,11 +43,13 @@ def _build(scale):
     from lpc_yolo_tpu.nn import build_model
     from lpc_yolo_tpu.nn.fuse import fuse_conv_bn
 
+    cfg = (
+        "lpc_yolo_tpu/cfg/models/v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml"
+        if scale == "lpc"
+        else f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"
+    )
     model = build_model(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml",
-        ),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), cfg),
         dtype=jnp.bfloat16,
         deploy=True,
     )
@@ -166,6 +168,9 @@ def main():
     for scale in ("s", "m"):
         r = bench_scale(scale, batch=batch)
         extras[f"yolov10{scale}_b32"] = {**r, "vs_baseline": round(r["img_s"] / BASELINES[scale], 3)}
+    # the fork's namesake model (SPD/SPCA/LPC/CBAM blocks; space_to_depth
+    # stage boundaries fold into conv kernels on the serving graph)
+    extras["lpc_tiny_b32"] = bench_scale("lpc", batch=batch)
     raw = bench_raw_frame(batch=batch)
     extras["raw_frame_720p_v10n"] = {**raw, "vs_baseline": round(raw["img_s"] / BASELINES["n"], 3)}
     # ONE JSON line: headline = v10n; the s/m scales and the raw-frame
