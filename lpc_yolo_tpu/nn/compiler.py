@@ -346,7 +346,8 @@ def _s2d_fuse_plan(specs, save) -> Dict[int, int]:
     return plan
 
 
-def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False) -> Optional[Tuple[int, int]]:
+def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False,
+               dense_only: bool = False) -> Optional[Tuple[int, int]]:
     """Pack plan for a layer given the arriving pack factor.
 
     Returns (p_in_used, p_out), or None to run unpacked. Repacking between
@@ -356,10 +357,20 @@ def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False) -> Optional[T
     (s*P_out % P_in == 0), else repack-on-entry. C2f: uniform pack (deploy
     rewrite only, n<=2 gate matching _build_module), pack-on-entry from
     unpacked inputs.
+
+    dense_only (batch >= 96): pack only where the packed lanes land EXACTLY
+    on one 128-lane tile. At large batch the row dimension already tiles the
+    MXU well, so 96-lane targets (c2=48 P2) and >128-lane bloat (48ch stem
+    at P8 = 384 lanes) lose to their FLOP overhead, while exact-128 packing
+    (16/32/64ch) still wins. Measured v10m b128: 1282 img/s fully unpacked
+    vs 1192 on the b32 plan; v10n b128: 5582 on the b32 plan vs 5276
+    unpacked — the split keeps both winners.
     """
     if spec.module not in ("Conv", "C2f") or len(spec.f) != 1:
         return None
     p_out = _pack_of(spec.c2)
+    if dense_only and p_out and p_out * spec.c2 != 128:
+        p_out = 0
     if spec.module == "Conv":
         s = spec.args[3] if len(spec.args) > 3 else 1
         if fold_s2d:
@@ -383,6 +394,10 @@ def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False) -> Optional[T
             and p_in % s == 0
             and p_in // s >= 2
         )
+        if dense_only and p_in * spec.c2 > 128:
+            # large-batch: the (p_in, p_in) stem override would over-bloat
+            # (48ch at P8 = 384 lanes); fall through to the ending paths
+            stem_feed = False
         if stem_feed and (not p_out or (s * p_out) % p_in != 0):
             # keep P_out = P_in when no direct chain exists: both the
             # contraction (K = kh*kwp*P_in*c1) and the output lanes
@@ -400,7 +415,9 @@ def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False) -> Optional[T
             # on v10m: unpack-then-plain for the 48ch 320^2 stem cost
             # ~3 ms more per step than ending the chain in-conv.)
             if p_in > 1 and s == 2:
-                if p_in % 2 == 0 and p_in // 2 >= 2 and (spec.c2 * (p_in // 2)) % 128 == 0:
+                lanes = spec.c2 * (p_in // 2)
+                dense = lanes == 128 if dense_only else lanes % 128 == 0
+                if p_in % 2 == 0 and p_in // 2 >= 2 and dense:
                     return (p_in, p_in // 2)
                 return (2, 1)
             return None
@@ -420,7 +437,7 @@ def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False) -> Optional[T
     p_out = 1
     while p_out * spec.c2 < 128:
         p_out *= 2
-    if p_out <= 1:
+    if p_out <= 1 or (dense_only and p_out * spec.c2 != 128):
         return None
     if fold_s2d:
         # folded cv1 runs at stride 2: the packed form needs
@@ -728,7 +745,10 @@ class DetectionModel(nn.Module):
             single_prev = len(spec.f) == 1 and spec.f[0] == -1
             p_in = cur_pack if single_prev else 1
             fold = spec.i in s2d_plan
-            plan = _wpack_out(spec, p_in, fold_s2d=fold) if wpack_on else None
+            # batch-aware gate: sub-128-lane and over-128-lane packing lose
+            # at large batch (see _wpack_out docstring)
+            dense_only = x.shape[0] >= 96
+            plan = _wpack_out(spec, p_in, fold_s2d=fold, dense_only=dense_only) if wpack_on else None
             if plan is None:
                 p_out = 0
                 if cur_pack > 1 and -1 in spec.f:

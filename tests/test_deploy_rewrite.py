@@ -347,3 +347,28 @@ def test_lpc_deploy_parity():
         training=False, predict_only=True, input_layout="WPACK",
     )["det"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=2e-4)
+
+
+def test_deploy_wpack_large_batch_plan_parity():
+    """The batch-aware pack gate (min_pack=4 at B >= 96) must still be an
+    exact rewrite: a B=96 WPACK forward matches the plain NHWC build."""
+    cfg = {
+        "nc": 8,
+        "backbone": [
+            [-1, 1, "Conv", [48, 3, 2]],   # P2 site gated off at large B
+            [-1, 1, "Conv", [32, 3, 2]],   # P4 site stays packed
+            [-1, 2, "C2f", [96, True]],    # P2 C2f gated off
+            [-1, 1, "Conv", [192, 3, 2]],
+        ],
+        "head": [[[1, 2, 3], 1, "v10Detect", ["nc"]]],
+    }
+    plain = build_model(cfg)
+    dep = build_model(cfg, deploy=True)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    x = np.random.RandomState(13).rand(96, 32, 32, 3).astype(np.float32)
+    a = plain.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    b = dep.apply(
+        variables, jnp.asarray(x.reshape(96, 32, 4, 24)),
+        training=False, predict_only=True, input_layout="WPACK",
+    )["det"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
