@@ -719,6 +719,10 @@ class DetectionModel(nn.Module):
             else {}
         )
         s2d_sites = set(s2d_plan.values())
+        # batch-aware gate: sub-128-lane and over-128-lane packing lose at
+        # large batch (see _wpack_out docstring). Taken from the input image
+        # batch once — mid-graph x may be a tuple (CBLinear outputs).
+        dense_only = x.shape[0] >= 96
         for spec in self.specs:
             name = f"model_{spec.i}"
             is_last = spec.i == self.specs[-1].i
@@ -745,9 +749,6 @@ class DetectionModel(nn.Module):
             single_prev = len(spec.f) == 1 and spec.f[0] == -1
             p_in = cur_pack if single_prev else 1
             fold = spec.i in s2d_plan
-            # batch-aware gate: sub-128-lane and over-128-lane packing lose
-            # at large batch (see _wpack_out docstring)
-            dense_only = x.shape[0] >= 96
             plan = _wpack_out(spec, p_in, fold_s2d=fold, dense_only=dense_only) if wpack_on else None
             if plan is None:
                 p_out = 0
