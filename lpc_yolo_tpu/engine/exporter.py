@@ -26,9 +26,9 @@ EXPORT_FORMATS = {
     "saved_model": "TensorFlow SavedModel (jax2tf)",
     "tflite": "TFLite flatbuffer (jax2tf + TFLiteConverter)",
     "tflite-int8": "TFLite int8 full-integer quantization",
+    "onnx": "ONNX graph (built-in jaxpr->ONNX converter; raw NCHW pred head)",
 }
 UNSUPPORTED = {
-    "onnx": "onnx/tf2onnx not available in this environment",
     "engine": "TensorRT targets NVIDIA GPUs; use stablehlo/tflite for TPU-adjacent deploys",
     "coreml": "coremltools not available",
     "paddle": "paddle toolchain not available",
@@ -82,6 +82,41 @@ def export_model(
 
         path = out_dir / f"{stem}.ckpt"
         save_checkpoint(path, yolo.variables, {"imgsz": imgsz, "nc": yolo.model.nc})
+        return str(path)
+
+    if fmt == "onnx":
+        # Raw prediction-head graph, matching the reference's ONNX semantics
+        # (exporter.py:354: decoded head map, NMS/top-k done by the client —
+        # its OpenCV-DNN/ORT example clients all consume this layout). Input
+        # is fp32 NCHW in [0,1] (ONNX convention); output 'pred' is
+        # (B, anchors, 4+nc) xyxy-pixels + sigmoid class scores.
+        from .onnx_export import export_onnx
+
+        model, variables = yolo.model, yolo.variables
+
+        def raw_fn(img_nchw):
+            out = model.apply(variables, img_nchw, training=False, input_layout="NCHW")
+            return out["pred"]
+
+        path = out_dir / f"{stem}.onnx"
+        export_onnx(
+            raw_fn,
+            (jax.ShapeDtypeStruct((batch, 3, imgsz, imgsz), jnp.float32),),
+            str(path),
+            input_names=["images"],
+            output_names=["pred"],
+            graph_name=stem,
+        )
+        (out_dir / f"{stem}.onnx.json").write_text(
+            json.dumps(
+                {
+                    "input": [batch, 3, imgsz, imgsz],
+                    "input_layout": "NCHW fp32 [0,1]",
+                    "output": "pred (B, anchors, 4+nc) xyxy + sigmoid scores",
+                    "nc": yolo.model.nc,
+                }
+            )
+        )
         return str(path)
 
     if fmt == "stablehlo":

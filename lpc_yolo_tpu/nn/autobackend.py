@@ -64,6 +64,27 @@ class AutoBackend:
 
             self._fn = fn
             self.kind = "saved_model"
+        elif suffix == ".onnx":
+            # OpenCV-DNN runtime (reference autobackend.py's cv2.dnn row). The
+            # artifact is the raw NCHW pred-head graph (see exporter.py), so
+            # the NMS-free top-k decode runs host-side here — exactly the
+            # reference's OpenCV-DNN client split (inference.cpp:30-41).
+            import json
+
+            import cv2
+
+            self._net = cv2.dnn.readNetFromONNX(self.path)
+            sidecar = Path(self.path + ".json")
+            self._nc = json.loads(sidecar.read_text())["nc"] if sidecar.exists() else 80
+            from ..ops.postprocess import v10_detections
+
+            def fn(x):
+                self._net.setInput(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)), "images")
+                pred = self._net.forward()
+                return np.asarray(v10_detections(jnp.asarray(pred), 300, self._nc))
+
+            self._fn = fn
+            self.kind = "onnx"
         elif suffix == ".pt":
             from ..engine.model import YOLO
 

@@ -41,7 +41,7 @@ def test_facade_benchmark_method(small_yolo, tmp_path):
 
 def test_unsupported_format_raises(small_yolo, tmp_path):
     with pytest.raises(NotImplementedError):
-        export_model(small_yolo, fmt="onnx", out_dir=tmp_path)
+        export_model(small_yolo, fmt="engine", out_dir=tmp_path)
     with pytest.raises(ValueError):
         export_model(small_yolo, fmt="bogus", out_dir=tmp_path)
 
