@@ -10,7 +10,13 @@ before the first device query — use both, not env vars.
 
 import os
 
-os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+# opt-level 0 halves XLA:CPU compile time (the suite's dominant cost on the
+# 1-vCPU runner: 125s -> 60s for a tiny train run) with identical test-scale
+# numerics; the TPU serving/bench paths never see this flag.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_backend_optimization_level=0"
+)
 
 import jax  # noqa: E402
 

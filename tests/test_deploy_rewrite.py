@@ -366,9 +366,12 @@ def test_deploy_wpack_large_batch_plan_parity():
     dep = build_model(cfg, deploy=True)
     variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
     x = np.random.RandomState(13).rand(96, 32, 32, 3).astype(np.float32)
-    a = plain.apply(variables, jnp.asarray(x), training=False, predict_only=True)["det"]
+    # compare the full decoded map (pre top-k): the rewrite-exactness claim.
+    # det rows are top-k-selected, and near-tied random-init scores make the
+    # selection order compiler-dependent (1-ulp fusion differences flip ties).
+    a = plain.apply(variables, jnp.asarray(x), training=False)["pred"]
     b = dep.apply(
         variables, jnp.asarray(x.reshape(96, 32, 4, 24)),
-        training=False, predict_only=True, input_layout="WPACK",
-    )["det"]
+        training=False, input_layout="WPACK",
+    )["pred"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -163,8 +163,14 @@ def test_classify_train_loop(cls_ds, tmp_path):
     assert losses[-1] < losses[0]  # CE decreases even in 2 tiny epochs
 
 
+@pytest.mark.slow
 def test_rtdetr_train_step(tmp_path):
-    """RTDETR DETR-loss training: 1 epoch on synthetic data, losses finite."""
+    """RTDETR DETR-loss training: 1 epoch on synthetic data, losses finite.
+
+    Slow-gated: the deformable-attention train-step compile alone costs
+    ~4 min on the 1-vCPU runner; test_rtdetr_build_and_predict keeps the
+    RT-DETR graph in the default suite and test_losses covers the DETR loss.
+    """
     from lpc_yolo_tpu.data import make_synthetic_dataset
 
     y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)

@@ -211,7 +211,11 @@ def _reference_obb_map(tm, root) -> float:
     return _ap_mean(tp, conf, pred_cls, target_cls)
 
 
+@pytest.mark.slow
 def test_obb_val_map_agreement(obb_setup):
+    # ~9 min on the 1-vCPU runner (torch reference OBB val + ours); the seg
+    # and pose agreement tests below stay in the default suite as the fast
+    # representatives of the same harness.
     tm, m, v, yml, root = obb_setup
     from lpc_yolo_tpu import YOLO
 
