@@ -16,6 +16,7 @@ which matches DDP semantics (no SyncBN in the reference).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Any, Callable, Dict, Tuple
 
 import jax
@@ -105,13 +106,18 @@ def make_optimizer(params, cfg: OptConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(model, variables: Dict, cfg: OptConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    # The train step donates the state (in-place buffer updates), so every
+    # leaf must own its buffer: params/ema must not alias each other (XLA
+    # rejects donating one buffer twice) and must not alias the caller's
+    # `variables` (donation would invalidate them under the caller's feet).
+    fresh = lambda tree: jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
     tx = make_optimizer(variables["params"], cfg)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables["batch_stats"],
+        params=fresh(variables["params"]),
+        batch_stats=fresh(variables["batch_stats"]),
         opt_state=tx.init(variables["params"]),
-        ema_params=jax.tree.map(lambda x: x, variables["params"]),
+        ema_params=fresh(variables["params"]),
         ema_updates=jnp.zeros((), jnp.float32),
     )
     return state, tx
@@ -206,18 +212,41 @@ def make_train_step(
             items = jnp.stack(list(items_t))
         return total, (mut["batch_stats"], items)
 
-    @jax.jit
+    # donate the state: params/opt/EMA/BN buffers update in place on device
+    # (no old+new copies coexisting — the reference gets this for free from
+    # torch's mutable tensors; under XLA it must be declared). Callers always
+    # rebind `state, metrics = step(state, batch)`. CPU backend ignores
+    # donation with a harmless warning.
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (loss, (new_stats, items)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, state.step
         )
+        # Non-finite guard (the reference gets this from GradScaler's inf
+        # check, trainer.py:389-394): a NaN/inf loss or gradient skips the
+        # whole update — params, optimizer state, BN stats, and EMA keep
+        # their previous values — instead of poisoning the run. One fused
+        # select per leaf; free when everything is finite.
+        finite = jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite &= jnp.all(jnp.isfinite(g))
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
+        def keep_if_finite(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(finite, a, b), new, old)
+
+        new_params = keep_if_finite(new_params, state.params)
+        new_opt = keep_if_finite(new_opt, state.opt_state)
+        new_stats = keep_if_finite(new_stats, state.batch_stats)
+
         # ModelEMA (torch_utils.py:431-465): ramped decay, updated every step.
-        n = state.ema_updates + 1.0
+        n = state.ema_updates + jnp.where(finite, 1.0, 0.0)
         d = cfg.ema_decay * (1.0 - jnp.exp(-n / cfg.ema_tau))
-        new_ema = jax.tree.map(lambda e, p: e * d + (1.0 - d) * p, state.ema_params, new_params)
+        new_ema = jax.tree.map(
+            lambda e, p: jnp.where(finite, e * d + (1.0 - d) * p, e), state.ema_params, new_params
+        )
 
         new_state = state.replace(
             step=state.step + 1,
@@ -227,7 +256,12 @@ def make_train_step(
             ema_params=new_ema,
             ema_updates=n,
         )
-        metrics = {"loss": loss, "items": items, "lr": lr_at(state.step, cfg)}
+        metrics = {
+            "loss": loss,
+            "items": items,
+            "lr": lr_at(state.step, cfg),
+            "skipped": ~finite,
+        }
         return new_state, metrics
 
     return train_step

@@ -14,6 +14,7 @@ pod slice.
 from __future__ import annotations
 
 import csv
+import signal
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -190,6 +191,22 @@ class Trainer:
         )
 
         self.callbacks.run("on_train_start", self)
+        # Preemption safety (TPU-pool/maintenance evictions send SIGTERM; the
+        # reference has no equivalent — DDP just dies, trainer.py:204-209):
+        # on SIGTERM/SIGINT finish the current step, checkpoint, and exit
+        # cleanly so `resume=True` continues from the interrupted epoch.
+        self._preempted = False
+        old_handlers = {}
+
+        def _request_stop(signum, frame):
+            self._preempted = True
+
+        try:
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # not the main thread (e.g. demo/server embedding)
+            old_handlers = {}
+
         data_iter = iter(loader)
         for epoch in range(start_epoch, self.epochs):
             self.epoch = epoch
@@ -198,6 +215,7 @@ class Trainer:
                 transforms.close_mosaic()
             t0 = time.time()
             mean_items = np.zeros(6)
+            n_skipped = 0
             for _ in range(steps_per_epoch):
                 batch = next(data_iter)
                 keys = ["img", "cls", "bboxes", "mask"]
@@ -206,6 +224,17 @@ class Trainer:
                 state, metrics = train_step(state, device_batch)
                 it = np.asarray(metrics["items"]).reshape(-1)[:6]
                 mean_items[: len(it)] += it / steps_per_epoch
+                n_skipped += int(np.asarray(metrics["skipped"]))
+                if self._preempted:
+                    break
+            if n_skipped:
+                print(f"WARNING: {n_skipped}/{steps_per_epoch} steps skipped (non-finite loss/grads)")
+            if self._preempted:
+                # epoch incomplete: checkpoint as "before this epoch" so
+                # resume re-runs it from the top
+                save_checkpoint(ckpt_last, jax.device_get(state), {"epoch": epoch - 1, "fitness": best_fitness})
+                print(f"preempted at epoch {epoch}: checkpoint saved, resume with resume=True")
+                break
 
             results: Dict[str, float] = {}
             if self.do_val and info.get("val"):
@@ -242,6 +271,8 @@ class Trainer:
                 print(f"early stop at epoch {epoch} (best epoch {stopper.best_epoch})")
                 break
 
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         self.callbacks.run("on_train_end", self)
         # final: load best into the facade (reference final_eval semantics)
         self.yolo.variables = {
