@@ -40,10 +40,23 @@ def __getattr__(name):  # lazy heavyweight families (reference exports them eage
         return NAS
     if name == "RTDETR":
         return YOLO  # rtdetr task resolves from the YAML/ckpt head
+    if name == "Explorer":
+        from .data.explorer import Explorer
+
+        return Explorer
+    if name == "settings":
+        # persisted user settings singleton (reference ultralytics/__init__.py
+        # exports `settings = SettingsManager()`); cached on first access
+        from .utils.infra import SettingsManager
+
+        s = SettingsManager()
+        globals()["settings"] = s
+        return s
     raise AttributeError(name)
 
 
 __all__ = [
     "YOLO", "YOLOv10", "YOLOWorld", "SAM", "FastSAM", "NAS", "RTDETR",
+    "Explorer", "settings",
     "Predictor", "Results", "ops", "nn", "losses", "parallel", "__version__",
 ]

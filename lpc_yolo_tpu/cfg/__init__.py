@@ -173,7 +173,7 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
         "version": lambda: print(__version__),
         "cfg": lambda: print(yaml.safe_dump(DEFAULT_CFG_DICT, sort_keys=False)),
         "checks": lambda: print(_checks()),
-        "settings": lambda: print("settings: see ~/.config/lpc_yolo_tpu/settings.yaml"),
+        "settings": lambda: print(yaml.safe_dump(dict(__import__("lpc_yolo_tpu").settings), sort_keys=False)),
     }
     if len(args) == 1 and args[0] in special:
         special[args[0]]()

@@ -106,6 +106,36 @@ class Trainer:
             warmup_epochs=warmup_epochs, optimizer=optimizer,
         )
 
+    def _autobatch(self, model, task: str, kpt_shape=None, max_batch: int = 128) -> int:
+        """Resolve batch=-1: largest power-of-2 batch whose compiled train step
+        fits 60% of device HBM (exact AOT probe, no execution)."""
+        import jax.numpy as jnp
+
+        from ..utils.autobatch import autobatch
+
+        probe_cfg = OptConfig(total_steps=1000, warmup_steps=100)
+        state, tx = init_train_state(model, self.yolo.variables, probe_cfg)
+        step = make_train_step(model, tx, probe_cfg, loss_kind=task)
+        M, sz = self.max_gt, self.imgsz
+
+        def make_fn(b):
+            batch = {
+                "img": jax.ShapeDtypeStruct((b, sz, sz, 3), jnp.float32),
+                "cls": jax.ShapeDtypeStruct((b, M), jnp.int32),
+                "bboxes": jax.ShapeDtypeStruct((b, M, 4), jnp.float32),
+                "mask": jax.ShapeDtypeStruct((b, M), jnp.bool_),
+            }
+            if task == "segment":
+                batch["masks"] = jax.ShapeDtypeStruct((b, M, sz // 4, sz // 4), jnp.float32)
+            elif task == "pose":
+                k = tuple(kpt_shape or (17, 3))
+                batch["keypoints"] = jax.ShapeDtypeStruct((b, M, k[0], k[1]), jnp.float32)
+            elif task == "obb":
+                batch["rboxes"] = jax.ShapeDtypeStruct((b, M, 5), jnp.float32)
+            return step, (state, batch)
+
+        return autobatch(make_fn, max_batch=max_batch)
+
     def train(self) -> Dict[str, float]:
         info = check_det_dataset(self.data)
         nc = info["nc"]
@@ -129,6 +159,12 @@ class Trainer:
         else:
             task = "v8"
         kpt_shape = info.get("kpt_shape")
+        if self.batch == -1:
+            # reference autobatch (utils/autobatch.py:13-70): probe the largest
+            # batch that fits 60% of HBM. CUDA's try-and-OOM loop becomes an
+            # exact XLA AOT memory_analysis of the real train step here.
+            self.batch = self._autobatch(model, task, kpt_shape)
+            print(f"autobatch: using batch={self.batch}")
         dataset = YOLODataset(
             info["train"], imgsz=self.imgsz, augment=True, names=info["names"],
             kpt_shape=kpt_shape, obb=(task == "obb"), cache_images=self.cache,
