@@ -36,6 +36,8 @@ def _seed():
     np.random.seed(0)
 
 
+
+
 def pytest_addoption(parser):
     parser.addoption("--slow", action="store_true", default=False, help="run slow tests")
 

@@ -7,6 +7,8 @@ dependency-free (MLflow file-store + DVCLive directory layouts).
 import json
 from types import SimpleNamespace
 
+import pytest
+
 from lpc_yolo_tpu.utils.callbacks import CallbackRegistry
 
 
@@ -63,8 +65,10 @@ def test_trainer_emits_to_sinks(tmp_path):
     from lpc_yolo_tpu import YOLO
     from lpc_yolo_tpu.data import make_synthetic_dataset
 
+    from pathlib import Path as _P
+
     data = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
-    y = YOLO("yolov8.yaml", nc=2)
+    y = YOLO(_P(__file__).resolve().parent / "assets" / "tiny-detect.yaml", nc=2)
     y.train(data=data, epochs=1, imgsz=64, batch=2, save_dir=tmp_path / "run", workers=0)
     run_dir = tmp_path / "run"
     assert (run_dir / "events.jsonl").exists()

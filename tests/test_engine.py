@@ -12,6 +12,8 @@ import pytest
 import jax
 
 from lpc_yolo_tpu import YOLO
+
+ASSETS = Path(__file__).resolve().parent / "assets"
 from lpc_yolo_tpu.data import DataLoader, TrainTransforms, ValTransforms, YOLODataset, check_det_dataset, make_synthetic_dataset
 from lpc_yolo_tpu.utils.metrics import DetMetrics, ap_per_class, box_iou_np, match_predictions
 
@@ -76,10 +78,10 @@ def test_metrics_wrong_class_is_fp():
 
 def test_train_val_predict_resume(ds, tmp_path):
     """2-epoch train -> metrics dict + ckpts -> resume 1 epoch -> predict."""
-    m = YOLO("yolov10n.yaml", nc=3)
+    m = YOLO(ASSETS / "tiny-v10.yaml", nc=3)
     run = tmp_path / "run"
     res = m.train(
-        data=ds, epochs=2, batch=4, imgsz=128, workers=2, max_gt=32,
+        data=ds, epochs=2, batch=2, imgsz=64, workers=0, max_gt=8,
         close_mosaic=1, save_dir=str(run), patience=50,
     )
     assert set(res) >= {"metrics/mAP50(B)", "metrics/mAP50-95(B)", "fitness"}
@@ -90,31 +92,31 @@ def test_train_val_predict_resume(ds, tmp_path):
 
     # resume continues from epoch 2
     res2 = m.train(
-        data=ds, epochs=3, batch=4, imgsz=128, workers=2, max_gt=32,
+        data=ds, epochs=3, batch=2, imgsz=64, workers=0, max_gt=8,
         close_mosaic=1, save_dir=str(run), patience=50, resume=True,
     )
     assert (run / "results.csv").read_text().count("epoch") >= 1
 
-    out = m.predict(str(Path(ds).parent / "images" / "val" / "im000.jpg"), imgsz=128)
+    out = m.predict(str(Path(ds).parent / "images" / "val" / "im000.jpg"), imgsz=64)
     assert len(out) == 1  # Results object produced (detections may be empty)
 
 
 def test_v8_train_and_nms_predict(ds, tmp_path):
     """The classic v8 Detect head trains (v8 loss) and predicts via the NMS path."""
-    m = YOLO("yolov8.yaml", nc=3)
+    m = YOLO(ASSETS / "tiny-detect.yaml", nc=3)
     assert m.task == "v8"
     res = m.train(
-        data=ds, epochs=1, batch=4, imgsz=128, workers=2, max_gt=16,
+        data=ds, epochs=1, batch=2, imgsz=64, workers=0, max_gt=8,
         close_mosaic=0, save_dir=str(tmp_path / "run"), optimizer="sgd",
     )
     assert "train/box" in (tmp_path / "run" / "results.csv").read_text()
-    out = m.predict(str(Path(ds).parent / "images" / "val" / "im000.jpg"), imgsz=128)
+    out = m.predict(str(Path(ds).parent / "images" / "val" / "im000.jpg"), imgsz=64)
     assert len(out) == 1
 
 
 def test_validator_standalone(ds):
-    m = YOLO("yolov10n.yaml", nc=3)
-    res = m.val(data=ds, imgsz=128, batch=4, max_gt=32)
+    m = YOLO(ASSETS / "tiny-v10.yaml", nc=3)
+    res = m.val(data=ds, imgsz=64, batch=2, max_gt=8)
     assert set(res) >= {"metrics/precision(B)", "metrics/mAP50-95(B)"}
     assert all(np.isfinite(v) for v in res.values())
 

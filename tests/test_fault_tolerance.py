@@ -15,6 +15,10 @@ import jax.numpy as jnp
 from lpc_yolo_tpu import YOLO
 from lpc_yolo_tpu.data import make_synthetic_dataset
 
+from pathlib import Path
+
+ASSETS = Path(__file__).resolve().parent / "assets"
+
 TINY = {
     "nc": 2,
     "backbone": [
@@ -73,7 +77,7 @@ def test_nonfinite_step_is_skipped():
 def test_sigterm_checkpoints_and_resumes(tmp_path):
     """SIGTERM mid-run -> clean exit with last.ckpt -> resume finishes."""
     data = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=64, nc=2)
-    y = YOLO("yolov8.yaml", nc=2)
+    y = YOLO(ASSETS / "tiny-detect.yaml", nc=2)
     run = tmp_path / "run"
 
     # trainer is constructed inside YOLO.train; inject the signal via the
@@ -102,7 +106,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert (run / "weights" / "last.ckpt").exists()
 
     # resume: continues from epoch 1 and completes the remaining epochs
-    y2 = YOLO("yolov8.yaml", nc=2)
+    y2 = YOLO(ASSETS / "tiny-detect.yaml", nc=2)
     y2.train(data=data, epochs=3, imgsz=64, batch=2, workers=0, save_dir=run, val=False, resume=True)
     rows = (run / "results.csv").read_text().strip().splitlines()
     epochs_logged = [int(r.split(",")[0]) for r in rows[1:] if not r.startswith("epoch")]

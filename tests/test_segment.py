@@ -60,8 +60,8 @@ def test_seg_training_step(tmp_path):
     from lpc_yolo_tpu.data import make_synthetic_dataset
 
     y = make_synthetic_dataset(tmp_path / "ds", n_train=4, n_val=2, imgsz=96, nc=2, segments=True)
-    m = YOLO("yolov8-seg.yaml", nc=2)
-    res = m.train(data=y, epochs=1, batch=4, imgsz=96, workers=2, max_gt=8,
+    m = YOLO(Path(__file__).resolve().parent / "assets" / "tiny-seg.yaml", nc=2)
+    res = m.train(data=y, epochs=1, batch=2, imgsz=64, workers=0, max_gt=8,
                   close_mosaic=0, save_dir=str(tmp_path / "run"))
     csv_text = (tmp_path / "run" / "results.csv").read_text()
     assert "train/seg" in csv_text

@@ -155,8 +155,8 @@ def test_classify_dataset(cls_ds):
 
 
 def test_classify_train_loop(cls_ds, tmp_path):
-    m = YOLO("yolov8-cls.yaml", nc=2)
-    res = m.train(data=cls_ds, epochs=2, batch=4, imgsz=64, workers=2, save_dir=str(tmp_path / "run"))
+    m = YOLO(Path(__file__).resolve().parent / "assets" / "tiny-cls.yaml", nc=2)
+    res = m.train(data=cls_ds, epochs=2, batch=4, imgsz=64, workers=0, save_dir=str(tmp_path / "run"))
     assert {"metrics/accuracy_top1", "metrics/accuracy_top5"} <= set(res)
     csv_text = (tmp_path / "run" / "results.csv").read_text()
     losses = [float(l.split(",")[1]) for l in csv_text.strip().splitlines()[1:]]
@@ -220,7 +220,7 @@ def pose_ds(tmp_path_factory):
         yaml.safe_dump({"path": str(tmp / "ds"), "train": "images/train", "val": "images/val",
                         "nc": 1, "names": {0: "box"}, "kpt_shape": [4, 3]})
     )
-    pose_yaml = (CFG / "v8/yolov8-pose.yaml").read_text().replace("kpt_shape: [17, 3]", "kpt_shape: [4, 3]")
+    pose_yaml = (Path(__file__).resolve().parent / "assets" / "tiny-pose.yaml").read_text().replace("kpt_shape: [17, 3]", "kpt_shape: [4, 3]")
     p = tmp / "pose.yaml"
     p.write_text(pose_yaml)
     return str(tmp / "ds/data.yaml"), str(p)
@@ -242,7 +242,7 @@ def test_pose_train_loop(pose_ds, tmp_path):
     data_yaml, model_yaml = pose_ds
     m = YOLO(model_yaml)
     assert m.task == "pose"
-    m.train(data=data_yaml, epochs=1, batch=4, imgsz=96, workers=2, max_gt=4,
+    m.train(data=data_yaml, epochs=1, batch=2, imgsz=64, workers=0, max_gt=4,
             close_mosaic=0, save_dir=str(tmp_path / "run"))
     header = (tmp_path / "run" / "results.csv").read_text().splitlines()[0]
     assert "train/pose" in header and "train/kobj" in header
@@ -269,9 +269,9 @@ def test_obb_train_loop(tmp_path):
         yaml.safe_dump({"path": str(tmp_path / "ds"), "train": "images/train",
                         "val": "images/val", "nc": 1, "names": {0: "obj"}})
     )
-    m = YOLO("yolov8-obb.yaml", nc=1)
-    m.train(data=str(tmp_path / "ds/data.yaml"), epochs=1, batch=4, imgsz=96,
-            workers=2, max_gt=4, close_mosaic=0, save_dir=str(tmp_path / "run"))
+    m = YOLO(Path(__file__).resolve().parent / "assets" / "tiny-obb.yaml", nc=1)
+    m.train(data=str(tmp_path / "ds/data.yaml"), epochs=1, batch=2, imgsz=64,
+            workers=0, max_gt=4, close_mosaic=0, save_dir=str(tmp_path / "run"))
     assert "train/box" in (tmp_path / "run" / "results.csv").read_text()
 
 
@@ -342,7 +342,7 @@ def test_obb_val_rotated_matching(tmp_path):
         yaml.safe_dump({"path": str(tmp_path / "ds"), "val": "images/val",
                         "nc": 1, "names": {0: "obj"}})
     )
-    m = YOLO("yolov8-obb.yaml", nc=1)
+    m = YOLO(Path(__file__).resolve().parent / "assets" / "tiny-obb.yaml", nc=1)
     res = m.val(data=str(tmp_path / "ds/data.yaml"), imgsz=96, batch=2, conf=0.001)
     assert "metrics/mAP50-95(B)" in res
     assert np.isfinite(res["metrics/mAP50-95(B)"])
