@@ -161,6 +161,57 @@ def bench_raw_frame(batch=32, imgsz=640, iters=16, frame_hw=(720, 1280)):
     }
 
 
+def bench_train_step(batch=32, imgsz=640, steps=24):
+    """Training throughput: full train step (fwd+bwd+clip+update+EMA) on the
+    bf16 compute path the Trainer uses on TPU."""
+    from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
+    from lpc_yolo_tpu.nn import build_model
+
+    model = build_model(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml"),
+        dtype=jnp.bfloat16,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+        cfg = OptConfig(total_steps=1000, warmup_steps=10)
+        state, tx = init_train_state(model, variables, cfg)
+    state = jax.device_put(state, jax.devices()[0])
+    step = make_train_step(model, tx, cfg)
+    M = 32
+    rng = np.random.RandomState(0)
+    wh = rng.rand(batch, M, 2) * 200 + 8
+    xy = rng.rand(batch, M, 2) * (imgsz - 260) + 10
+    batch_d = {
+        "img": jnp.asarray((rng.rand(batch, imgsz, imgsz, 3) * 255).astype(np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 80, (batch, M)).astype(np.int32)),
+        "bboxes": jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
+        "mask": jnp.asarray(np.ones((batch, M), bool)),
+    }
+    # same dependent-loop methodology as the serving benches: N steps inside
+    # ONE jitted scan (state threaded step-to-step), one scalar fetch. Per-
+    # dispatch host timing over the tunneled device is unreliable in both
+    # directions (block_until_ready returns early; queued executes can stall
+    # for seconds), so aggregate device time is the only sound measure.
+    @jax.jit
+    def run(state, batch):
+        def body(s, _):
+            s2, m = step(s, batch)
+            return s2, m["loss"]
+        _, losses = jax.lax.scan(body, state, None, length=steps)
+        return losses[-1]
+
+    loss = float(run(state, batch_d))  # compile + warmup
+    assert np.isfinite(loss)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(state, batch_d))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return {"img_s": round(batch * steps / dt, 1), "ms_per_step": round(dt / steps * 1000.0, 2)}
+
+
 def main():
     batch = 32
     n = bench_scale("n", batch=batch)
@@ -173,6 +224,7 @@ def main():
     extras["lpc_tiny_b32"] = bench_scale("lpc", batch=batch)
     raw = bench_raw_frame(batch=batch)
     extras["raw_frame_720p_v10n"] = {**raw, "vs_baseline": round(raw["img_s"] / BASELINES["n"], 3)}
+    extras["train_step_v10n_b32_bf16"] = bench_train_step(batch=batch)
     # ONE JSON line: headline = v10n; the s/m scales and the raw-frame
     # letterbox-included config ride along as nested extras
     print(

@@ -89,15 +89,21 @@ def task_aligned_assigner(
 
     align_metric = bbox_scores**alpha * overlaps**beta
 
-    # --- top-k candidates per gt (tal.py:127-162). lax.top_k returns distinct
-    # indices, so the reference's duplicate-count trick reduces to a mask.
-    _, topk_idx = jax.lax.top_k(align_metric, topk)  # (B, M, topk)
-    b_ix = jnp.arange(B)[:, None, None]
-    m_ix = jnp.arange(M)[None, :, None]
-    mask_topk = (
-        jnp.zeros_like(align_metric).at[b_ix, m_ix, topk_idx].set(1.0, mode="drop")
-        * mask_gt_f[..., None]
-    )
+    # --- top-k candidates per gt (tal.py:127-162). Only the top-k MASK is
+    # needed (the reference's duplicate-count trick reduces to it), so build
+    # it with `topk` unrolled argmax+suppress passes instead of
+    # lax.top_k + scatter: on TPU the (B, M, A) top_k lowers to a full
+    # variadic sort (9 ms/step at b32) and the scatter serializes, while
+    # argmax+one-hot are plain VPU reductions. Tie-handling is identical
+    # (lowest index wins, matching lax.top_k / torch.topk).
+    a_ix = jnp.arange(A)
+    metric = align_metric
+    mask_topk = jnp.zeros_like(align_metric, dtype=bool)
+    for _ in range(topk):
+        pick = a_ix == jnp.argmax(metric, axis=-1, keepdims=True)  # (B, M, A)
+        mask_topk |= pick
+        metric = jnp.where(pick, -jnp.inf, metric)
+    mask_topk = mask_topk.astype(align_metric.dtype) * mask_gt_f[..., None]
 
     mask_pos = mask_topk * mask_in_gts * mask_gt_f[..., None]  # (B, M, A)
 
@@ -109,9 +115,14 @@ def task_aligned_assigner(
     fg_mask = jnp.sum(mask_pos, axis=-2) > 0  # (B, A)
     target_gt_idx = jnp.argmax(mask_pos, axis=-2).astype(jnp.int32)  # (B, A)
 
-    # --- gather targets (tal.py:163-214)
-    target_labels = jnp.take_along_axis(labels, target_gt_idx, axis=1)  # (B, A)
-    target_bboxes = jnp.take_along_axis(gt_bboxes, target_gt_idx[..., None], axis=1)  # (B, A, 4|5)
+    # --- gather targets (tal.py:163-214) as one-hot einsums over the small M
+    # axis: take_along_axis (B, A) <- (B, M) lowers to serialized scalar
+    # gathers on TPU (~7 ms/step at b32 across both v10 heads, xplane), while
+    # the (B, A, M) x (B, M, k) contraction rides the MXU for free.
+    onehot_gt = (jnp.arange(M) == target_gt_idx[..., None]).astype(pd_scores.dtype)  # (B, A, M)
+    target_labels = jnp.einsum("bam,bm->ba", onehot_gt, labels.astype(pd_scores.dtype))
+    target_labels = jnp.round(target_labels).astype(jnp.int32)
+    target_bboxes = jnp.einsum("bam,bmk->bak", onehot_gt, gt_bboxes)  # (B, A, 4|5)
     target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = target_scores * fg_mask[..., None]
 

@@ -984,7 +984,7 @@ def build_model(
     cfg: Union[str, Path, Dict],
     nc: Optional[int] = None,
     ch: int = 3,
-    dtype: Any = jnp.float32,
+    dtype: Any = None,
     deploy: bool = False,
 ) -> DetectionModel:
     """Build a DetectionModel from a YAML path/dict, with strides resolved.
@@ -992,7 +992,16 @@ def build_model(
     deploy=True enables inference-only block rewrites (e.g. slice/concat-free
     C2f). The variable tree is identical to deploy=False, so variables from a
     training build load unchanged.
+
+    dtype=None resolves by backend: bfloat16 compute on TPU (the MXU's native
+    format — params stay float32, linen's param dtype is separate; the loss
+    and metric paths upcast at the same boundary as the reference's autocast),
+    float32 elsewhere. Pass an explicit dtype to override.
     """
+    if dtype is None:
+        import jax as _jax
+
+        dtype = jnp.bfloat16 if _jax.default_backend() == "tpu" else jnp.float32
     d = yaml_model_load(cfg) if not isinstance(cfg, dict) else dict(cfg)
     if nc is not None and nc != d.get("nc"):
         d["nc"] = nc

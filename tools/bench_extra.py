@@ -65,6 +65,9 @@ def main():
         )
     if which in ("v10x", "all"):
         rows["yolov10x_b32"] = bench_cfg("lpc_yolo_tpu/cfg/models/v10/yolov10x.yaml", batch=32, iters=24)
+    if which in ("bl", "all"):
+        rows["yolov10b_b32"] = bench_cfg("lpc_yolo_tpu/cfg/models/v10/yolov10b.yaml", batch=32, iters=24)
+        rows["yolov10l_b32"] = bench_cfg("lpc_yolo_tpu/cfg/models/v10/yolov10l.yaml", batch=32, iters=24)
     if which in ("b128", "all"):
         rows["yolov10n_b128"] = bench_cfg("lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml", batch=128, iters=24)
         rows["yolov10m_b128"] = bench_cfg("lpc_yolo_tpu/cfg/models/v10/yolov10m.yaml", batch=128, iters=12)
