@@ -257,19 +257,28 @@ class CallbackRegistry:
     def _attach_tensorboard(self, save_dir):
         from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(log_dir=str(save_dir) if save_dir else None)
+        # lazy: SummaryWriter creates its events file at construction, which
+        # would litter runs/ for Trainers that never train (autobatch probes,
+        # facade construction)
+        state = {}
+
+        def writer():
+            if "w" not in state:
+                state["w"] = SummaryWriter(log_dir=str(save_dir) if save_dir else None)
+            return state["w"]
 
         def on_fit_epoch_end(trainer):
             epoch = getattr(trainer, "epoch", 0)
             for k, v in getattr(trainer, "last_metrics", {}).items():
                 try:
-                    writer.add_scalar(k, float(v), epoch)
+                    writer().add_scalar(k, float(v), epoch)
                 except (TypeError, ValueError):
                     pass
 
         def on_train_end(trainer):
-            writer.flush()
-            writer.close()
+            if "w" in state:
+                state["w"].flush()
+                state["w"].close()
 
         self.add("on_fit_epoch_end", on_fit_epoch_end)
         self.add("on_train_end", on_train_end)
