@@ -119,10 +119,14 @@ def task_aligned_assigner(
     # axis: take_along_axis (B, A) <- (B, M) lowers to serialized scalar
     # gathers on TPU (~7 ms/step at b32 across both v10 heads, xplane), while
     # the (B, A, M) x (B, M, k) contraction rides the MXU for free.
+    # Precision.HIGHEST: the TPU's default matmul precision truncates f32
+    # inputs to bf16, which would round the selected box coordinates (~8
+    # mantissa bits); HIGHEST keeps the one-hot selection bit-exact.
+    hi = jax.lax.Precision.HIGHEST
     onehot_gt = (jnp.arange(M) == target_gt_idx[..., None]).astype(pd_scores.dtype)  # (B, A, M)
-    target_labels = jnp.einsum("bam,bm->ba", onehot_gt, labels.astype(pd_scores.dtype))
+    target_labels = jnp.einsum("bam,bm->ba", onehot_gt, labels.astype(pd_scores.dtype), precision=hi)
     target_labels = jnp.round(target_labels).astype(jnp.int32)
-    target_bboxes = jnp.einsum("bam,bmk->bak", onehot_gt, gt_bboxes)  # (B, A, 4|5)
+    target_bboxes = jnp.einsum("bam,bmk->bak", onehot_gt, gt_bboxes, precision=hi)  # (B, A, 4|5)
     target_scores = jax.nn.one_hot(target_labels, num_classes, dtype=pd_scores.dtype)
     target_scores = target_scores * fg_mask[..., None]
 
