@@ -388,6 +388,30 @@ def copy_paste(img: np.ndarray, boxes: np.ndarray, cls: np.ndarray, rng: np.rand
     return img, np.concatenate(new_boxes), np.concatenate(new_cls)
 
 
+class AlbumentationsBridge:
+    """Optional albumentations pipeline (reference augment.py:819-874): Blur,
+    MedianBlur, ToGray, CLAHE, each at p=0.01, applied image-only before the
+    HSV jitter. Silently disabled when the package is absent — the same
+    import-gated behavior as the reference."""
+
+    def __init__(self, p: float = 1.0):
+        self.p = p
+        self.transform = None
+        try:
+            import albumentations as A
+
+            self.transform = A.Compose(
+                [A.Blur(p=0.01), A.MedianBlur(p=0.01), A.ToGray(p=0.01), A.CLAHE(p=0.01)]
+            )
+        except Exception:  # noqa: BLE001 — absent or incompatible package: skip
+            pass
+
+    def __call__(self, img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        if self.transform is None or rng.rand() >= self.p:
+            return img
+        return self.transform(image=img)["image"]
+
+
 class TrainTransforms:
     """Mosaic + affine + HSV + flip -> fixed (imgsz, imgsz) sample (v8_transforms)."""
 
@@ -396,6 +420,7 @@ class TrainTransforms:
         self.hyp = {**DEFAULT_HYP, **(hyp or {})}
         self.max_gt = max_gt
         self.mosaic_enabled = True
+        self.albumentations = AlbumentationsBridge()
 
     def close_mosaic(self):
         """Disable mosaic for the final epochs (trainer.py:354-356)."""
@@ -423,6 +448,7 @@ class TrainTransforms:
             border = (0, 0)
         img = np.ascontiguousarray(img)
         img, boxes, cls = random_perspective(img, boxes, cls, rng, hyp, border)
+        img = self.albumentations(img, rng)
         img = augment_hsv(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
         if rng.rand() < hyp["flipud"]:
             img = np.flipud(img)

@@ -81,7 +81,11 @@ def export_model(
         from ..utils.checkpoint import save_checkpoint
 
         path = out_dir / f"{stem}.ckpt"
-        save_checkpoint(path, yolo.variables, {"imgsz": imgsz, "nc": yolo.model.nc})
+        # embed the architecture so YOLO('x.ckpt') can rebuild without the YAML
+        meta = {"imgsz": imgsz, "nc": yolo.model.nc, "task": getattr(yolo, "task", None),
+                "model_yaml": getattr(yolo, "model_yaml", None),
+                "names": getattr(yolo, "names", None)}
+        save_checkpoint(path, yolo.variables, meta)
         return str(path)
 
     if fmt == "onnx":

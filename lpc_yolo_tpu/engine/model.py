@@ -57,8 +57,11 @@ class YOLO:
         self.ckpt_path = str(model)
         self.overrides: Dict[str, Any] = {}
         self.names = dict(COCO80)
+        self.model_yaml: Optional[Dict] = None
         if str(model).endswith(".pt"):
             self._load_checkpoint(str(model), nc=nc)
+        elif str(model).endswith(".ckpt"):
+            self._load_native_ckpt(str(model), nc=nc, task=task)
         else:
             import re
 
@@ -70,6 +73,7 @@ class YOLO:
             if m:  # scale letter from the requested name, not the unified file
                 d["scale"] = m.group(1)
             self.model = build_model(d, nc=nc)
+            self.model_yaml = d
             self.variables = _jit_init(self.model)
             self.task = task or self._guess_task(yaml_path)
         if self.model.nc != len(self.names):
@@ -79,6 +83,37 @@ class YOLO:
             from ..utils.text_embed import encode_names
 
             self.txt_feats = encode_names([self.names[i] for i in sorted(self.names)])[None]
+
+    def _load_native_ckpt(self, path: str, nc: Optional[int] = None, task: Optional[str] = None):
+        """Load an exported native checkpoint (export format='ckpt'): the meta
+        header embeds the model YAML, so the architecture rebuilds without
+        the original config file."""
+        import json
+
+        with open(path, "rb") as f:
+            n = int.from_bytes(f.read(8), "little")
+            meta = json.loads(f.read(n).decode())
+        d = meta.get("model_yaml")
+        if d is None:
+            raise ValueError(
+                f"{path} has no embedded model config — trainer state checkpoints "
+                "(weights/last.ckpt) resume via YOLO(...).train(resume=True); use "
+                "model.export(format='ckpt') to produce a standalone loadable artifact"
+            )
+        from ..utils.checkpoint import load_checkpoint
+
+        self.model = build_model(d, nc=nc or meta.get("nc"))
+        self.model_yaml = d
+        template = _jit_init(self.model)
+        self.variables, _ = load_checkpoint(path, template)
+        mods = {s.module for s in self.model.specs}
+        self.task = task or meta.get("task") or next(
+            (t for m, t in (("v10Detect", "v10"), ("RTDETRDecoder", "rtdetr"), ("Segment", "segment"),
+                            ("Pose", "pose"), ("OBB", "obb"), ("Classify", "classify")) if m in mods),
+            "v8",
+        )
+        if meta.get("names"):
+            self.names = {int(k): v for k, v in meta["names"].items()} if isinstance(meta["names"], dict) else dict(enumerate(meta["names"]))
 
     @staticmethod
     def _guess_task(yaml_path: Path) -> str:
@@ -233,3 +268,47 @@ class YOLO:
     @property
     def n_params(self) -> int:
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.variables["params"]))
+
+    def info(self, imgsz: int = 640, verbose: bool = True) -> Dict[str, Any]:
+        """Model summary (reference Model.info / model_info, torch_utils.py):
+        layer count, parameter count, and forward GFLOPs via XLA's own cost
+        analysis (the thop analog)."""
+        from ..utils.profilers import model_cost
+
+        cost = model_cost(self.model, self.variables, imgsz=imgsz)
+        out = {
+            "layers": len(self.model.specs),
+            "parameters": self.n_params,
+            "GFLOPs": cost["gflops/img"],
+        }
+        if verbose:
+            print(
+                f"{Path(self.ckpt_path).stem} summary: {out['layers']} layers, "
+                f"{out['parameters']:,} parameters, {out['GFLOPs']} GFLOPs (imgsz={imgsz})"
+            )
+        return out
+
+    @classmethod
+    def from_pretrained(cls, source: str, **kw) -> "YOLO":
+        """Load pretrained weights (reference YOLOv10's HF-Hub mixin,
+        models/yolov10/model.py:10). Accepts a local .pt/.ckpt file, a
+        directory containing one, or an https URL (fetched through
+        utils.downloads.safe_download — requires network egress)."""
+        p = Path(source)
+        if p.is_dir():
+            cands = sorted(list(p.glob("*.pt")) + list(p.glob("*.ckpt")))
+            if not cands:
+                raise FileNotFoundError(f"no .pt/.ckpt weights found under {p}")
+            return cls(str(cands[0]), **kw)
+        if p.exists():
+            return cls(str(p), **kw)
+        if str(source).startswith(("http://", "https://")):
+            from ..utils.downloads import safe_download
+
+            dest = Path.home() / ".cache" / "lpc_yolo_tpu" / Path(source).name
+            safe_download(str(source), dest)
+            return cls(str(dest), **kw)
+        raise FileNotFoundError(
+            f"from_pretrained('{source}'): not a local file/dir or URL. Hub repo-id "
+            "resolution needs network egress; download the weights and pass a path."
+        )
