@@ -517,6 +517,7 @@ class SegTrainTransforms:
         self.mask_ratio = mask_ratio
         self.seg_points = seg_points
         self.mosaic_enabled = True
+        self.albumentations = AlbumentationsBridge()
 
     def close_mosaic(self):
         self.mosaic_enabled = False
@@ -539,6 +540,7 @@ class SegTrainTransforms:
             border = (0, 0)
         img = np.ascontiguousarray(img)
         img, boxes, cls, segs = random_perspective(img, boxes, cls, rng, hyp, border, segments=segs)
+        img = self.albumentations(img, rng)
         img = augment_hsv(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
         if rng.rand() < hyp["flipud"]:
             img = np.flipud(img)
@@ -581,6 +583,7 @@ class PoseTrainTransforms:
             flip_idx = COCO_FLIP_IDX if self.kpt_shape[0] == 17 else list(range(self.kpt_shape[0]))
         self.flip_idx = list(flip_idx)
         self.mosaic_enabled = True
+        self.albumentations = AlbumentationsBridge()
 
     def close_mosaic(self):
         self.mosaic_enabled = False
@@ -607,6 +610,7 @@ class PoseTrainTransforms:
             border = (0, 0)
         img = np.ascontiguousarray(img)
         img, boxes, cls, kpts = random_perspective(img, boxes, cls, rng, hyp, border, keypoints=kpts)
+        img = self.albumentations(img, rng)
         img = augment_hsv(img, rng, hyp["hsv_h"], hyp["hsv_s"], hyp["hsv_v"])
         if rng.rand() < hyp["flipud"]:
             img = np.flipud(img)
