@@ -288,6 +288,14 @@ class YOLO:
             )
         return out
 
+    def profile(self, imgsz: int = 640, batch: int = 1, verbose: bool = True):
+        """Per-layer FLOPs/params table (reference `predict(profile=True)` →
+        BaseModel._profile_one_layer, nn/tasks.py:121-144) via truncated-graph
+        XLA cost analysis."""
+        from ..utils.profilers import profile_layers
+
+        return profile_layers(self.model, self.variables, imgsz=imgsz, batch=batch, verbose=verbose)
+
     @classmethod
     def from_pretrained(cls, source: str, **kw) -> "YOLO":
         """Load pretrained weights (reference YOLOv10's HF-Hub mixin,

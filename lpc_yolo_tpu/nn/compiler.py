@@ -671,7 +671,7 @@ class DetectionModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False, predict_only: bool = False, text=None,
-                 input_layout: str = "NHWC", dn=None):
+                 input_layout: str = "NHWC", dn=None, upto: Optional[int] = None):
         act_token = M.DEFAULT_ACT.set(self.default_act)
         try:
             if self.deploy and not training:
@@ -679,14 +679,14 @@ class DetectionModel(nn.Module):
                 # (single fusible conv+bias+act chains; see modules.DEPLOY_MATH)
                 token = M.DEPLOY_MATH.set(True)
                 try:
-                    return self._run(x, training, predict_only, text, input_layout, dn)
+                    return self._run(x, training, predict_only, text, input_layout, dn, upto)
                 finally:
                     M.DEPLOY_MATH.reset(token)
-            return self._run(x, training, predict_only, text, input_layout, dn)
+            return self._run(x, training, predict_only, text, input_layout, dn, upto)
         finally:
             M.DEFAULT_ACT.reset(act_token)
 
-    def _run(self, x, training, predict_only, text, input_layout, dn):
+    def _run(self, x, training, predict_only, text, input_layout, dn, upto=None):
         y: Dict[int, jnp.ndarray] = {}
         # Deploy serving path fed width-packed (B, H, W/8, 8*3): run the
         # low-channel stem prefix on the packed layout (dense 128 lanes),
@@ -941,6 +941,8 @@ class DetectionModel(nn.Module):
                 cur_pack = p_out
                 if spec.i in self.save:
                     y[spec.i] = _repack(x, p_out, 1)
+                if upto is not None and spec.i >= upto:
+                    return _repack(x, cur_pack, 1) if cur_pack > 1 else x
                 continue
             else:
                 module = _build_module(spec, self.dtype, name, deploy=self.deploy, s2d_in=fold)
@@ -948,6 +950,9 @@ class DetectionModel(nn.Module):
                 cur_pack = 1
             if spec.i in self.save:
                 y[spec.i] = x
+            if upto is not None and spec.i >= upto:
+                # truncated graph (per-layer profiling): output of layer `upto`
+                return _repack(x, cur_pack, 1) if cur_pack > 1 else x
         if cur_pack > 1:
             x = _repack(x, cur_pack, 1)
         return x  # headless graph (feature extractor)

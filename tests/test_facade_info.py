@@ -43,3 +43,13 @@ def test_albumentations_bridge_gates_on_import():
     out = bridge(img, np.random.RandomState(0))
     assert out.shape == img.shape  # identity when package absent, valid image otherwise
     assert TrainTransforms(64).albumentations is not None
+
+
+def test_profile_per_layer_table(capsys):
+    m = YOLO(ASSETS / "tiny-detect.yaml", nc=3)
+    rows = m.profile(imgsz=64, verbose=True)
+    assert len(rows) == 5
+    assert sum(r["params"] for r in rows) == m.n_params
+    assert all(r["gflops"] >= 0 for r in rows)
+    assert rows[2]["module"] == "C2f" and rows[2]["gflops"] > 0
+    assert "GFLOPs" in capsys.readouterr().out
