@@ -172,12 +172,17 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
         "help": lambda: print(_usage()),
         "version": lambda: print(__version__),
         "cfg": lambda: print(yaml.safe_dump(DEFAULT_CFG_DICT, sort_keys=False)),
+        "copy-cfg": _copy_cfg,
         "checks": lambda: print(_checks()),
         "settings": lambda: print(yaml.safe_dump(dict(__import__("lpc_yolo_tpu").settings), sort_keys=False)),
     }
     if len(args) == 1 and args[0] in special:
         special[args[0]]()
         return None
+    if args[0] == "settings" and len(args) > 1:
+        return handle_yolo_settings(args[1:])
+    if args[0] in ("login", "logout", "hub"):
+        return handle_yolo_hub(args)
     if args[0] == "explorer":
         # `yolo explorer data=coco8.yaml [model=...] [port=...]` launches the
         # dataset dashboard (reference cfg/__init__.py:412 handle_explorer,
@@ -250,16 +255,83 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
         from ..engine.exporter import export_model
 
         return export_model(model, fmt=cfg.format, imgsz=cfg.imgsz)
+    if mode == "track":
+        import numpy as np
+
+        results = model.track(
+            cfg.source,
+            tracker=cfg.tracker,
+            conf=cfg.conf or 0.1,
+            imgsz=cfg.imgsz,
+            max_det=cfg.max_det,
+        )
+        for r in results:
+            ids = r.boxes.id if r.boxes is not None and r.boxes.id is not None else []
+            print(f"{r.path}: {len(r)} tracks {[int(i) for i in np.asarray(ids).tolist()] if len(ids) else []}")
+        return results
+    if mode == "benchmark":
+        rows = model.benchmark(data=cfg.data, imgsz=cfg.imgsz)
+        for row in rows:
+            print(row)
+        return rows
     raise NotImplementedError(f"mode '{mode}' not implemented yet")
+
+
+def handle_yolo_settings(args: List[str]) -> None:
+    """`yolo settings k=v ...` / `yolo settings reset` (cfg/__init__.py:379)."""
+    import lpc_yolo_tpu
+
+    s = lpc_yolo_tpu.settings
+    if args and args[0] == "reset":
+        s.reset()
+        print("settings reset")
+        return
+    updates = {}
+    for a in merge_equals_args(args):
+        if "=" in a:
+            k, v = a.split("=", 1)
+            check_dict_alignment(dict(s), {k: v})
+            updates[k] = _parse_value(v)
+    if updates:
+        s.update(**updates)
+    print(yaml.safe_dump(dict(s), sort_keys=False))
+
+
+def handle_yolo_hub(args: List[str]) -> None:
+    """`yolo login [key]` / `yolo logout` (reference cfg/__init__.py:357)."""
+    from .. import hub
+
+    if args[0] == "hub":
+        args = args[1:]
+    if not args:
+        return
+    if args[0] == "login":
+        hub.login(args[1] if len(args) > 1 else "")
+        print("logged in" if (len(args) > 1) else "no API key given")
+    elif args[0] == "logout":
+        hub.logout()
+        print("logged out")
+
+
+def _copy_cfg() -> None:
+    """Copy default.yaml next to cwd for editing (reference copy_default_cfg)."""
+    import shutil
+
+    dst = Path.cwd() / (CFG_PATH.stem + "_copy.yaml")
+    shutil.copy2(CFG_PATH, dst)
+    print(f"{CFG_PATH} copied to {dst}")
 
 
 def _usage() -> str:
     return (
         "usage: yolo TASK MODE ARGS\n"
-        "  TASK in {detect}  MODE in {train,val,predict,export}\n"
+        "  TASK in {detect,segment,classify,pose,obb}\n"
+        "  MODE in {train,val,predict,export,track,benchmark}\n"
         "  e.g. yolo detect train model=yolov10n.yaml data=data.yaml epochs=100\n"
         "       yolo predict model=yolov10n.yaml source=image.jpg\n"
-        "  special: yolo help | version | cfg | checks"
+        "       yolo track model=yolov10n.yaml source=video.mp4 tracker=botsort.yaml\n"
+        "  special: yolo help | version | cfg | copy-cfg | checks |\n"
+        "           yolo settings [k=v ...|reset] | yolo login KEY | yolo logout"
     )
 
 

@@ -39,8 +39,23 @@ class Auth:
         return {"x-api-key": self.api_key} if self.api_key else {}
 
 
-def login(api_key: str = "") -> Auth:
-    return Auth(api_key)
+def login(api_key: str = "", save: bool = True) -> Auth:
+    """Authenticate with an API key, persisting it to settings like the
+    reference (`hub/__init__.py login` -> SETTINGS.update(api_key=...))."""
+    import lpc_yolo_tpu
+
+    key = api_key or lpc_yolo_tpu.settings.get("api_key", "")
+    auth = Auth(key)
+    if save and api_key:
+        lpc_yolo_tpu.settings.update(api_key=api_key)
+    return auth
+
+
+def logout() -> None:
+    """Clear the persisted API key (reference hub/__init__.py:logout)."""
+    import lpc_yolo_tpu
+
+    lpc_yolo_tpu.settings.update(api_key="")
 
 
 def request(

@@ -80,6 +80,7 @@ class SettingsManager(dict):
             "runs_dir": str(Path.cwd() / "runs"),
             "sync": False,  # no telemetry in this build
             "tensorboard": True,
+            "api_key": "",  # HUB key persisted by `yolo login` (hub/auth.py)
         }
         super().__init__(defaults)
         try:

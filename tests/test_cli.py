@@ -58,6 +58,48 @@ def test_entrypoint_task_default_models():
         entrypoint(["detect", "train", "bogus_key=1"])
 
 
+def test_settings_update_and_reset(tmp_path, capsys, monkeypatch):
+    """`yolo settings k=v` persists; `yolo settings reset` restores defaults
+    (reference cfg/__init__.py:379 handle_yolo_settings)."""
+    import lpc_yolo_tpu
+    from lpc_yolo_tpu.utils.infra import SettingsManager
+
+    s = SettingsManager(tmp_path / "cfg" / "settings.yaml")
+    monkeypatch.setattr(lpc_yolo_tpu, "settings", s, raising=False)
+    entrypoint(["settings", "tensorboard=false"])
+    assert s["tensorboard"] is False
+    assert "tensorboard" in capsys.readouterr().out
+    # unknown key -> fuzzy rejection
+    with pytest.raises(SyntaxError):
+        entrypoint(["settings", "tensorbard=true"])
+    entrypoint(["settings", "reset"])
+    assert s["tensorboard"] is True
+
+
+def test_login_logout_persist_key(tmp_path, capsys, monkeypatch):
+    import lpc_yolo_tpu
+    from lpc_yolo_tpu.utils.infra import SettingsManager
+
+    s = SettingsManager(tmp_path / "cfg" / "settings.yaml")
+    monkeypatch.setattr(lpc_yolo_tpu, "settings", s, raising=False)
+    entrypoint(["login", "test-key-123"])
+    assert s["api_key"] == "test-key-123"
+    entrypoint(["logout"])
+    assert s["api_key"] == ""
+    capsys.readouterr()
+
+
+def test_copy_cfg(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    entrypoint(["copy-cfg"])
+    copies = list(tmp_path.glob("*_copy.yaml"))
+    assert len(copies) == 1
+    import yaml
+
+    assert "epochs" in yaml.safe_load(copies[0].read_text())
+    capsys.readouterr()
+
+
 def test_module_invocation_subprocess():
     # pin the subprocess to CPU: it doesn't load conftest, and grabbing the
     # (possibly busy) real TPU makes this test minutes-slow and flaky
