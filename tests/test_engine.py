@@ -101,6 +101,30 @@ def test_train_val_predict_resume(ds, tmp_path):
     assert len(out) == 1  # Results object produced (detections may be empty)
 
 
+def test_save_flags(ds, tmp_path):
+    """save=False skips per-epoch ckpts (final epoch still saved); save_period
+    writes epoch{N}.ckpt snapshots (reference trainer.py:500-507 semantics)."""
+    m = YOLO(ASSETS / "tiny-v10.yaml", nc=3)
+    run = tmp_path / "run"
+    m.train(
+        data=ds, epochs=3, batch=2, imgsz=64, workers=0, max_gt=8,
+        close_mosaic=0, save_dir=str(run), val=False, save_period=2,
+    )
+    w = run / "weights"
+    assert (w / "last.ckpt").exists()
+    assert (w / "epoch2.ckpt").exists() and not (w / "epoch1.ckpt").exists()
+
+    run2 = tmp_path / "run2"
+    m2 = YOLO(ASSETS / "tiny-v10.yaml", nc=3)
+    m2.train(
+        data=ds, epochs=2, batch=2, imgsz=64, workers=0, max_gt=8,
+        close_mosaic=0, save_dir=str(run2), val=False, save=False,
+    )
+    # only the final epoch is persisted when save=False
+    assert (run2 / "weights" / "last.ckpt").exists()
+    assert not (run2 / "weights" / "epoch1.ckpt").exists()
+
+
 def test_v8_train_and_nms_predict(ds, tmp_path):
     """The classic v8 Detect head trains (v8 loss) and predicts via the NMS path."""
     m = YOLO(ASSETS / "tiny-detect.yaml", nc=3)
