@@ -27,6 +27,7 @@ EXPORT_FORMATS = {
     "tflite": "TFLite flatbuffer (jax2tf + TFLiteConverter)",
     "tflite-int8": "TFLite int8 full-integer quantization",
     "onnx": "ONNX graph (built-in jaxpr->ONNX converter; raw NCHW pred head)",
+    "torchscript": "TorchScript module (jaxpr->torch interpreter + jit.trace; raw NCHW pred head)",
 }
 UNSUPPORTED = {
     "engine": "TensorRT targets NVIDIA GPUs; use stablehlo/tflite for TPU-adjacent deploys",
@@ -120,6 +121,34 @@ def export_model(
                     "nc": yolo.model.nc,
                 }
             )
+        )
+        return str(path)
+
+    if fmt == "torchscript":
+        # Same raw-pred-head semantics as the ONNX path: input fp32 NCHW in
+        # [0,1], output (B, anchors, 4+nc) xyxy + sigmoid scores; NMS/top-k in
+        # the client. Metadata rides _extra_files['config.txt'] like the
+        # reference exporter (engine/exporter.py:326-330) for LibTorch clients.
+        from .torch_export import export_torchscript
+
+        model, variables = yolo.model, yolo.variables
+
+        def raw_fn(img_nchw):
+            out = model.apply(variables, img_nchw, training=False, input_layout="NCHW")
+            return out["pred"]
+
+        path = out_dir / f"{stem}.torchscript"
+        export_torchscript(
+            raw_fn,
+            (jax.ShapeDtypeStruct((batch, 3, imgsz, imgsz), jnp.float32),),
+            str(path),
+            metadata={
+                "input": [batch, 3, imgsz, imgsz],
+                "input_layout": "NCHW fp32 [0,1]",
+                "output": "pred (B, anchors, 4+nc) xyxy + sigmoid scores",
+                "nc": yolo.model.nc,
+                "names": getattr(yolo, "names", None),
+            },
         )
         return str(path)
 

@@ -85,6 +85,31 @@ class AutoBackend:
 
             self._fn = fn
             self.kind = "onnx"
+        elif suffix == ".torchscript":
+            # LibTorch-format artifact (reference autobackend.py's torchscript
+            # row): raw NCHW pred-head module + host-side NMS-free decode,
+            # same client split as the ONNX row.
+            import json
+
+            import torch
+
+            extra = {"config.txt": ""}
+            self._mod = torch.jit.load(self.path, _extra_files=extra)
+            self._mod.eval()
+            try:
+                self._nc = json.loads(extra["config.txt"])["nc"]
+            except (ValueError, KeyError):
+                self._nc = 80
+            from ..ops.postprocess import v10_detections
+
+            def fn(x):
+                nchw = torch.from_numpy(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)).copy())
+                with torch.no_grad():
+                    pred = self._mod(nchw).numpy()
+                return np.asarray(v10_detections(jnp.asarray(pred), 300, self._nc))
+
+            self._fn = fn
+            self.kind = "torchscript"
         elif suffix == ".pt":
             from ..engine.model import YOLO
 
