@@ -45,6 +45,7 @@ class Validator:
         save_dir: Optional[str] = None,
         plots: bool = False,
         anno_json: Optional[str] = None,
+        mesh=None,
     ):
         self.yolo = yolo
         self.imgsz = imgsz
@@ -58,6 +59,13 @@ class Validator:
         self.anno_json = anno_json
         self.save_dir = Path(save_dir) if save_dir else None
         self.plots = plots
+        # mesh-sharded batch inference: params replicated, batch axis sharded
+        # over the 'data' mesh axis; XLA's SPMD partitioner splits the whole
+        # forward+decode per chip (no collectives — detection outputs are
+        # per-image). Pass a jax.sharding.Mesh, or leave None to auto-use all
+        # chips on a multi-chip TPU host (the reference's DDP has no inference
+        # analog; this is the TPU-native equivalent of its --device 0,1,2,3).
+        self.mesh = mesh
         self.iouv = np.linspace(0.5, 0.95, 10)
         self.speed = {"preprocess": 0.0, "inference": 0.0, "postprocess": 0.0}
         self._predict_cache: Dict[int, object] = {}
@@ -210,6 +218,20 @@ class Validator:
         )
         predict = self._make_predict(model, variables)
 
+        mesh = self.mesh
+        if mesh is None and jax.default_backend() == "tpu" and len(jax.devices()) > 1:
+            from ..parallel.mesh import data_parallel_mesh
+
+            mesh = data_parallel_mesh(batch_size=self.batch)
+        batch_sharding = None
+        if mesh is not None and mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.batch % mesh.size:
+                raise ValueError(f"val batch {self.batch} must divide the mesh size {mesh.size}")
+            variables = jax.device_put(variables, NamedSharding(mesh, P()))  # replicate once
+            batch_sharding = NamedSharding(mesh, P("data"))
+
         stats: Dict[str, List[np.ndarray]] = {"tp": [], "conf": [], "pred_cls": [], "target_cls": []}
         # task-specific second criterion: mask IoU (segment) / OKS (pose),
         # mirroring reference SegmentationValidator/PoseValidator
@@ -220,7 +242,8 @@ class Validator:
         for batch in loader:
             t0 = time.perf_counter()
             b_, h_, w_, _ = batch["img"].shape
-            imgs = jnp.asarray(batch["img"].reshape(b_, h_, w_ // 8, 24))
+            imgs = batch["img"].reshape(b_, h_, w_ // 8, 24)
+            imgs = jax.device_put(imgs, batch_sharding) if batch_sharding is not None else jnp.asarray(imgs)
             t1 = time.perf_counter()
             out = predict(variables, imgs)
             extra = None

@@ -33,3 +33,24 @@ def test_dryrun_multichip_fresh_process():
     )
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
     assert "OK" in r.stdout
+
+
+def test_mesh_sharded_validation(tmp_path):
+    """Validator mesh= shards the batch axis over the data mesh; metrics must
+    be bit-identical to the single-device path (pure DP, no collectives)."""
+    import numpy as np
+
+    from lpc_yolo_tpu import YOLO
+    from lpc_yolo_tpu.data import make_synthetic_dataset
+    from lpc_yolo_tpu.parallel.mesh import data_parallel_mesh
+
+    data = make_synthetic_dataset(tmp_path / "ds", n_train=2, n_val=8, imgsz=64, nc=3)
+    from pathlib import Path
+
+    m = YOLO(Path(__file__).parent / "assets" / "tiny-v10.yaml", nc=3)
+    res_single = m.val(data=data, imgsz=64, batch=8, max_gt=8)
+    mesh = data_parallel_mesh(batch_size=8)
+    assert mesh.size > 1  # conftest provisions the 8-device CPU mesh
+    res_mesh = m.val(data=data, imgsz=64, batch=8, max_gt=8, mesh=mesh)
+    for k, v in res_single.items():
+        assert np.isclose(res_mesh[k], v, atol=1e-6), (k, res_mesh[k], v)
