@@ -171,6 +171,7 @@ def bench_train_step(batch=32, imgsz=640, steps=24):
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml"),
         dtype=jnp.bfloat16,
+        train_pack=jax.default_backend() == "tpu",  # same auto as the Trainer
     )
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)

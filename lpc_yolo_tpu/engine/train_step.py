@@ -135,6 +135,8 @@ def make_train_step(
              'mask': (B,M) bool}
     """
 
+    train_pack = bool(getattr(model, "train_pack", False))
+
     def loss_fn(params, batch_stats, batch, step=0):
         img = batch["img"]
         if img.dtype == jnp.uint8:
@@ -156,12 +158,19 @@ def make_train_step(
                 "mask": batch["mask"],
                 "key": jax.random.fold_in(jax.random.PRNGKey(42), step),
             }
+        if train_pack:
+            # feed the width-packed layout (B, H, W/8, 8*3): the low-channel
+            # stem stages then run on dense 128-lane tiles (see
+            # compiler._run wpack_on). The reshape fuses into the normalize.
+            b_, h_, w_, c_ = img.shape
+            img = img.reshape(b_, h_, w_ // 8, 8 * c_)
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img,
             training=True,
             mutable=["batch_stats"],
             dn=dn,
+            input_layout="WPACK" if train_pack else "NHWC",
         )
         # mixed-precision (amp): models built with dtype=bfloat16 run the
         # backbone/neck/head matmuls in bf16 (params stay f32 — linen's

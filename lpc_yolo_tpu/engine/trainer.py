@@ -144,6 +144,14 @@ class Trainer:
         info = check_det_dataset(self.data)
         nc = info["nc"]
         model = self.yolo.model
+        if jax.default_backend() == "tpu" and not model.train_pack:
+            # width-pack the low-channel training stages (compiler._run
+            # wpack_on): numerically exact (loss/grads/BN stats match the
+            # unpacked graph at f64 — tests/test_train_pack.py) and +43%
+            # step throughput on v5e (450 -> 642 img/s v10n b32). Same
+            # variable tree; TPU-only because the packed kernels only pay
+            # off on 128-lane tile hardware.
+            model = model.clone(train_pack=True)
         if model.nc != nc:
             raise ValueError(
                 f"model nc={model.nc} != dataset nc={nc}; build the model with YOLO(cfg, nc={nc})"

@@ -666,6 +666,7 @@ class DetectionModel(nn.Module):
     strides: Tuple[float, ...] = (8.0, 16.0, 32.0)
     reg_max: int = 16
     deploy: bool = False  # inference-only block rewrites (same variable tree)
+    train_pack: bool = False  # width-pack the low-channel stages in TRAINING
     default_act: str = "silu"  # YAML `activation:` override for conv.py Convs
     dtype: Any = jnp.float32
 
@@ -693,7 +694,15 @@ class DetectionModel(nn.Module):
         # unpack once at the end. NCHW callers are transposed to NHWC.
         if input_layout == "NCHW":
             x = jnp.transpose(x, (0, 2, 3, 1))
-        wpack_on = self.deploy and not training and input_layout == "WPACK"
+        # width-pack planning runs for the deploy serving graph AND (when
+        # train_pack is set) the training graph: the early low-channel stages
+        # dominate the train step via BN-stat reductions over 12-25%-filled
+        # lane tiles (xplane-profiled: ~40% of the v10n b32 step), and the
+        # packed layout makes those reads dense. Modules reproduce exact
+        # training numerics on the packed layout (packed_conv + PackedBN).
+        wpack_on = input_layout == "WPACK" and (
+            (self.deploy and not training) or (self.train_pack and training)
+        )
         cur_pack = 8 if input_layout == "WPACK" else 1  # raw feed comes x8
         if input_layout == "WPACK" and not wpack_on:
             x = M.unpack_width(x, 8)
@@ -991,6 +1000,7 @@ def build_model(
     ch: int = 3,
     dtype: Any = None,
     deploy: bool = False,
+    train_pack: bool = False,
 ) -> DetectionModel:
     """Build a DetectionModel from a YAML path/dict, with strides resolved.
 
@@ -1019,5 +1029,5 @@ def build_model(
     strides = _infer_strides(model, ch=ch)
     return DetectionModel(
         specs=specs, save=save, nc=d["nc"], strides=strides, deploy=deploy,
-        default_act=default_act, dtype=dtype,
+        train_pack=train_pack, default_act=default_act, dtype=dtype,
     )

@@ -135,6 +135,20 @@ class ConvBN(nn.Module):
                 feature_group_count=self.g,
             )
             return apply_act(y + b, self.act)
+        if self.pack_in > 1 or self.pack_out > 1:
+            # training-path width packing: the conv runs via packed_conv on
+            # the RAW kernel (no BN fold — training needs live statistics),
+            # then PackedBN reproduces flax BatchNorm exactly on the packed
+            # layout. Same variable tree as the plain path (conv/kernel,
+            # bn/{scale,bias,mean,var}), so checkpoints/EMA/fusion are
+            # unaffected. Only 'same'-padded ungrouped square convs are
+            # planned (compiler._wpack_out).
+            assert self.g == 1 and self.d == 1 and kh == kw and not self.s2d_in
+            cin = x.shape[-1] // self.pack_in
+            w = _Kernel((kh, kw, cin, self.c2), name="conv")().astype(self.dtype)
+            y = packed_conv(x.astype(self.dtype), w, self.s, self.pack_in, self.pack_out)
+            y = PackedBN(self.c2, self.pack_out, dtype=self.dtype, name="bn")(y, training)
+            return apply_act(y, self.act)
         x = nn.Conv(
             self.c2,
             (kh, kw),
@@ -194,14 +208,17 @@ class Bottleneck(nn.Module):
     k: Tuple[int, int] = (3, 3)
     e: float = 0.5
     act: Any = "mish"  # block.py-defined blocks resolve the fork's Mish Conv
+    pack: int = 1  # width-pack factor (training-path packing; in == out)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         c_ = int(self.c2 * self.e)
-        y = ConvBN(c_, self.k[0], 1, act=self.act, dtype=self.dtype, name="cv1")(x, training)
-        y = ConvBN(self.c2, self.k[1], 1, g=self.g, act=self.act, dtype=self.dtype, name="cv2")(y, training)
-        if self.shortcut and x.shape[-1] == self.c2:
+        y = ConvBN(c_, self.k[0], 1, act=self.act, pack_in=self.pack, pack_out=self.pack,
+                   dtype=self.dtype, name="cv1")(x, training)
+        y = ConvBN(self.c2, self.k[1], 1, g=self.g, act=self.act, pack_in=self.pack,
+                   pack_out=self.pack, dtype=self.dtype, name="cv2")(y, training)
+        if self.shortcut and x.shape[-1] == self.c2 * self.pack:
             return x + y
         return y
 
@@ -228,6 +245,45 @@ class _BN(nn.Module):
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.c,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32))
         return scale, bias, mean.value, var.value
+
+
+class PackedBN(nn.Module):
+    """BatchNorm over a width-packed (B, H, W/P, P*C) activation.
+
+    Exact flax nn.BatchNorm semantics (f32 fast-variance stats, f32
+    normalization, cast to `dtype` at the end, same momentum/eps and the
+    same variable paths: params scale/bias + batch_stats mean/var), but the
+    per-channel statistics reduce over the P lane groups too — every spatial
+    position contributes exactly once, so the stats equal the unpacked ones.
+    This is what lets the TRAINING graph run the low-channel stages width-
+    packed (dense 128-lane tiles) without changing BN numerics or the
+    checkpoint layout.
+    """
+
+    c: int
+    P: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y, training: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((self.c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32))
+        stat_dt = jnp.promote_types(y.dtype, jnp.float32)  # f32 floor, like flax
+        if training:
+            xr = y.reshape(y.shape[:3] + (self.P, self.c)).astype(stat_dt)
+            mean = jnp.mean(xr, axis=(0, 1, 2, 3))
+            var = jnp.maximum(jnp.mean(xr * xr, axis=(0, 1, 2, 3)) - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = BN_MOMENTUM * ra_mean.value + (1.0 - BN_MOMENTUM) * mean.astype(jnp.float32)
+                ra_var.value = BN_MOMENTUM * ra_var.value + (1.0 - BN_MOMENTUM) * var.astype(jnp.float32)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        mul = jax.lax.rsqrt(var.astype(stat_dt) + BN_EPS) * scale
+        out = (y.astype(stat_dt) - jnp.tile(mean.astype(stat_dt), self.P)) * jnp.tile(mul, self.P) \
+            + jnp.tile(bias.astype(stat_dt), self.P)
+        return out.astype(self.dtype)
 
 
 class _FusedConvBN(nn.Module):
@@ -293,6 +349,26 @@ class C2f(nn.Module):
         c = int(self.c2 * self.e)
         if self.deploy and not training and self.g == 1 and up_pair is None:
             return self._deploy_call(x, c)
+        if self.pack > 1 and not (not training and DEPLOY_MATH.get()):
+            # training-path width packing: plain C2f structure with every
+            # ConvBN packed at a uniform factor P. The channel split/concat
+            # become minor-dim lane reshapes ((..., P*C) <-> (..., P, C)),
+            # which XLA lowers without relayout copies on the packed tiles.
+            P = self.pack
+            y = ConvBN(2 * c, 1, 1, act="mish", pack_in=self.pack_in, pack_out=P,
+                       dtype=self.dtype, name="cv1")(x, training)
+            B, H, Wp = y.shape[:3]
+            yr = y.reshape(B, H, Wp, P, 2 * c)
+            ys = [yr[..., :c].reshape(B, H, Wp, P * c), yr[..., c:].reshape(B, H, Wp, P * c)]
+            for i in range(self.n):
+                ys.append(
+                    Bottleneck(c, self.shortcut, self.g, k=(3, 3), e=1.0, pack=P,
+                               dtype=self.dtype, name=f"m_{i}")(ys[-1], training)
+                )
+            cat = jnp.concatenate([t.reshape(B, H, Wp, P, c) for t in ys], axis=-1)
+            cat = cat.reshape(B, H, Wp, P * (2 + self.n) * c)
+            return ConvBN(self.c2, 1, act="mish", pack_in=P, pack_out=P,
+                          dtype=self.dtype, name="cv2")(cat, training)
         if up_pair is not None and not training and DEPLOY_MATH.get() and self.pack == 1:
             # upsample-commute (serving graphs): this C2f's input is
             # concat([up2(x_small), skip]) and cv1 is 1x1, so the x_small

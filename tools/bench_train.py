@@ -22,13 +22,14 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
-def bench_train(scale="n", batch=32, imgsz=640, steps=16, dtype=jnp.float32):
+def bench_train(scale="n", batch=32, imgsz=640, steps=16, dtype=jnp.float32, train_pack=False):
     from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
     from lpc_yolo_tpu.nn import build_model
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     model = build_model(
-        os.path.join(root, f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"), dtype=dtype
+        os.path.join(root, f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"),
+        dtype=dtype, train_pack=train_pack,
     )
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
@@ -68,6 +69,7 @@ def main():
     out = {
         f"train_{scale}_b{batch}_f32": bench_train(scale, batch, dtype=jnp.float32),
         f"train_{scale}_b{batch}_bf16": bench_train(scale, batch, dtype=jnp.bfloat16),
+        f"train_{scale}_b{batch}_bf16_pack": bench_train(scale, batch, dtype=jnp.bfloat16, train_pack=True),
     }
     print(json.dumps(out), flush=True)
 
