@@ -28,6 +28,7 @@ EXPORT_FORMATS = {
     "tflite-int8": "TFLite int8 full-integer quantization",
     "onnx": "ONNX graph (built-in jaxpr->ONNX converter; raw NCHW pred head)",
     "torchscript": "TorchScript module (jaxpr->torch interpreter + jit.trace; raw NCHW pred head)",
+    "pb": "TensorFlow GraphDef frozen graph (jax2tf + constant folding)",
 }
 UNSUPPORTED = {
     "engine": "TensorRT targets NVIDIA GPUs; use stablehlo/tflite for TPU-adjacent deploys",
@@ -172,6 +173,30 @@ def export_model(
         input_signature=[tf.TensorSpec(in_shape, tf.float32, name="images")],
         autograph=False,
     )
+    if fmt == "pb":
+        # frozen GraphDef (the reference's 'pb' TF flavor, exporter.py:808):
+        # variables are folded to constants so the artifact is one
+        # self-contained protobuf, consumed by wrap_function in AutoBackend
+        from tensorflow.python.framework.convert_to_constants import (
+            convert_variables_to_constants_v2,
+        )
+
+        frozen = convert_variables_to_constants_v2(tf_fn.get_concrete_function())
+        path = out_dir / f"{stem}.pb"
+        tf.io.write_graph(frozen.graph.as_graph_def(), str(out_dir), path.name, as_text=False)
+        (out_dir / f"{stem}.pb.json").write_text(
+            json.dumps(
+                {
+                    "inputs": [t.name for t in frozen.inputs],
+                    "outputs": [t.name for t in frozen.outputs],
+                    "input_shape": list(in_shape),
+                    "output_shape": [batch, max_det, 6],
+                    "nc": yolo.model.nc,
+                }
+            )
+        )
+        return str(path)
+
     module = tf.Module()
     module.f = tf_fn
     sm_path = out_dir / f"{stem}_saved_model"

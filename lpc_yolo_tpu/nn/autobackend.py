@@ -64,6 +64,40 @@ class AutoBackend:
 
             self._fn = fn
             self.kind = "saved_model"
+        elif suffix == ".pb":
+            # frozen TF GraphDef (reference autobackend.py's GraphDef row):
+            # import the graph into a wrap_function and prune to the
+            # (inputs, outputs) recorded by the exporter's sidecar — or, when
+            # the sidecar is missing, the graph's placeholder and its sole
+            # consumerless op, the standard TF1-graph recovery idiom.
+            import json
+
+            import tensorflow as tf
+
+            gd = tf.compat.v1.GraphDef()
+            gd.ParseFromString(Path(self.path).read_bytes())
+            wrapped = tf.compat.v1.wrap_function(
+                lambda: tf.compat.v1.import_graph_def(gd, name=""), []
+            )
+            sidecar = Path(self.path + ".json")
+            if sidecar.exists():
+                spec = json.loads(sidecar.read_text())
+                in_names, out_names = spec["inputs"], spec["outputs"]
+            else:
+                in_names = [n.name + ":0" for n in gd.node if n.op == "Placeholder"][:1]
+                consumed = {i.split(":")[0].lstrip("^") for n in gd.node for i in n.input}
+                out_names = [
+                    n.name + ":0" for n in gd.node
+                    if n.name not in consumed and n.op not in ("NoOp", "Placeholder")
+                ][-1:]
+            ge = wrapped.graph.as_graph_element
+            self._pb_fn = wrapped.prune([ge(n) for n in in_names], [ge(n) for n in out_names])
+
+            def fn(x):
+                return self._pb_fn(tf.constant(np.asarray(x, np.float32)))[0].numpy()
+
+            self._fn = fn
+            self.kind = "pb"
         elif suffix == ".onnx":
             # OpenCV-DNN runtime (reference autobackend.py's cv2.dnn row). The
             # artifact is the raw NCHW pred-head graph (see exporter.py), so

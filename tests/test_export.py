@@ -47,6 +47,27 @@ def test_unsupported_format_raises(small_yolo, tmp_path):
 
 
 @pytest.mark.slow
+def test_pb_export_and_autobackend(small_yolo, tmp_path):
+    """Frozen-GraphDef export (reference exporter.py:808 'pb' flavor) loads
+    back through AutoBackend and agrees with the live predict graph."""
+    import tensorflow as tf  # noqa: F401  (skip naturally if missing)
+
+    from lpc_yolo_tpu.nn.autobackend import AutoBackend
+
+    path = export_model(small_yolo, fmt="pb", imgsz=64, out_dir=tmp_path)
+    assert path.endswith(".pb")
+    backend = AutoBackend(path, imgsz=64)
+    assert backend.kind == "pb"
+    x = np.random.RandomState(0).rand(1, 64, 64, 3).astype(np.float32)
+    out = backend.forward(x)
+    assert out.shape == (1, 300, 6)
+    from lpc_yolo_tpu.engine.exporter import _predict_fn
+
+    ref = np.asarray(_predict_fn(small_yolo.model, small_yolo.variables)(jnp.asarray(x)))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_tflite_export(small_yolo, tmp_path):
     import tensorflow as tf  # noqa: F401  (skip naturally if missing)
 
