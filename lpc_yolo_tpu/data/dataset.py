@@ -24,7 +24,21 @@ IMG_SUFFIXES = {".bmp", ".dng", ".jpeg", ".jpg", ".mpo", ".png", ".tif", ".tiff"
 
 
 def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
-    """Parse a dataset YAML into {path, train, val, names, nc} (data/utils.py:251)."""
+    """Parse a dataset YAML into {path, train, val, names, nc} (data/utils.py:251).
+
+    Bare names ('coco8.yaml') resolve against the bundled family in
+    cfg/datasets/ (the reference's third YAML family, cfg/datasets/*); a
+    bundled config's relative `path:` is resolved against the persisted
+    `settings datasets_dir` like the reference's DATASETS_DIR, while a user
+    YAML's relative `path:` stays relative to the YAML itself.
+    """
+    bundled = False
+    if not isinstance(data, dict):
+        p = Path(data)
+        if not p.exists() and p.suffix in (".yaml", ".yml") and p.name == str(data):
+            cand = Path(__file__).parent.parent / "cfg" / "datasets" / p.name
+            if cand.exists():
+                data, bundled = cand, True
     if isinstance(data, dict):
         d = dict(data)
     else:
@@ -32,12 +46,22 @@ def check_det_dataset(data: Union[str, Path, Dict]) -> Dict:
         d.setdefault("path", str(Path(data).parent))
     root = Path(d.get("path", "."))
     if not root.is_absolute() and not isinstance(data, dict):
-        root = Path(data).parent / root
+        if bundled:
+            from ..utils.infra import SettingsManager
+
+            root = (Path(SettingsManager()["datasets_dir"]) / root).resolve()
+        else:
+            root = Path(data).parent / root
+
+    def _resolve(p):
+        p = Path(p)
+        return str(p if p.is_absolute() else root / p)
+
     out = {"path": str(root)}
     for split in ("train", "val", "test"):
         if d.get(split):
-            p = Path(d[split])
-            out[split] = str(p if p.is_absolute() else root / p)
+            v = d[split]
+            out[split] = [_resolve(x) for x in v] if isinstance(v, list) else _resolve(v)
     names = d.get("names")
     if isinstance(names, list):
         names = dict(enumerate(names))
@@ -73,7 +97,9 @@ class YOLODataset:
         obb: bool = False,
         cache_images: Union[bool, str] = False,
     ):
-        self.img_path = str(img_path)
+        self.img_path = (
+            [str(p) for p in img_path] if isinstance(img_path, (list, tuple)) else str(img_path)
+        )
         self.kpt_shape = tuple(kpt_shape) if kpt_shape else None
         self.obb = obb
         self.imgsz = imgsz
@@ -92,19 +118,25 @@ class YOLODataset:
             self._npy_files = [Path(f).with_suffix(".npy") for f in self.im_files]
 
     def _scan_images(self) -> List[str]:
-        p = Path(self.img_path)
-        if p.is_dir():
-            files = sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_SUFFIXES)
-        elif p.is_file() and p.suffix == ".txt":  # file listing image paths
-            files = [l.strip() for l in p.read_text().splitlines() if l.strip()]
-        else:
-            raise FileNotFoundError(f"dataset path {p} not found")
+        # dir, .txt listing, or a LIST of those (reference base.py:21 accepts
+        # all three — e.g. VOC.yaml's train: [images/train2012, ...])
+        parts = self.img_path if isinstance(self.img_path, (list, tuple)) else [self.img_path]
+        files: List[str] = []
+        for part in parts:
+            p = Path(part)
+            if p.is_dir():
+                files += sorted(str(f) for f in p.rglob("*") if f.suffix.lower() in IMG_SUFFIXES)
+            elif p.is_file() and p.suffix == ".txt":  # file listing image paths
+                files += [l.strip() for l in p.read_text().splitlines() if l.strip()]
+            else:
+                raise FileNotFoundError(f"dataset path {p} not found")
         if not files:
-            raise FileNotFoundError(f"no images found in {p}")
+            raise FileNotFoundError(f"no images found in {self.img_path}")
         return files
 
     def _cache_path(self) -> Path:
-        return Path(self.img_path).with_suffix(".labels.npz")
+        base = self.img_path[0] if isinstance(self.img_path, list) else self.img_path
+        return Path(base).with_suffix(".labels.npz")
 
     def _hash(self) -> str:
         h = hashlib.sha1()

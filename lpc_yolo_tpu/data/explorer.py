@@ -66,7 +66,8 @@ class Explorer:
 
     def create_embeddings_table(self, force: bool = False, cache: bool = True) -> np.ndarray:
         """Compute (or load) per-image embeddings (explorer.py create_embeddings_table)."""
-        cache_path = Path(self.dataset.img_path).with_suffix(".embeddings.npz")
+        base = self.dataset.img_path
+        cache_path = Path(base[0] if isinstance(base, list) else base).with_suffix(".embeddings.npz")
         if cache and cache_path.exists() and not force:
             z = np.load(cache_path)
             if len(z["emb"]) == len(self.dataset):

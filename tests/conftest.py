@@ -9,6 +9,13 @@ before the first device query — use both, not env vars.
 """
 
 import os
+import tempfile
+
+# Isolate persisted user settings (utils/infra.py USER_CONFIG_DIR reads this
+# env at import): without it, a `yolo login`/`yolo settings` run on the same
+# machine leaks api_key/dirs into the suite (and the suite's writes would
+# clobber the user's real settings.yaml).
+os.environ["LPC_YOLO_CONFIG_DIR"] = tempfile.mkdtemp(prefix="lpc_yolo_test_cfg_")
 
 # opt-level 0 halves XLA:CPU compile time (the suite's dominant cost on the
 # 1-vCPU runner: 125s -> 60s for a tiny train run) with identical test-scale

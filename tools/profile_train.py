@@ -5,7 +5,8 @@ Same methodology as profile_trace.py but for the donated training program
 jax.profiler trace of a few chained steps and prints the top ops by device
 self-time, so the ms/step budget is attributed to compiled ops.
 
-Usage: python tools/profile_train.py [n|s|m] [batch]
+Usage: python tools/profile_train.py [n|s|m] [batch] [pack|nopack]
+(default pack on TPU — same auto as the Trainer)
 """
 
 import os
@@ -27,13 +28,16 @@ def main():
     scale = sys.argv[1] if len(sys.argv) > 1 else "n"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     imgsz = 640
+    pack = (sys.argv[3] if len(sys.argv) > 3 else
+            ("pack" if jax.default_backend() == "tpu" else "nopack")) == "pack"
 
     from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
     from lpc_yolo_tpu.nn import build_model
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     model = build_model(
-        os.path.join(root, f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"), dtype=jnp.bfloat16
+        os.path.join(root, f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"),
+        dtype=jnp.bfloat16, train_pack=pack,
     )
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
