@@ -235,6 +235,11 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
             lr0=cfg.lr0,
             lrf=cfg.lrf,
             optimizer=str(cfg.optimizer).lower(),
+            save=cfg.save,
+            save_period=cfg.save_period,
+            project=cfg.project,
+            name=cfg.name,
+            exist_ok=cfg.exist_ok,
         )
     if mode == "val":
         results = model.val(data=cfg.data, imgsz=cfg.imgsz, batch=int(cfg.batch), save_json=cfg.save_json)
@@ -247,6 +252,15 @@ def entrypoint(argv: Optional[List[str]] = None) -> Any:
             conf=cfg.conf or 0.25,
             imgsz=cfg.imgsz,
             max_det=cfg.max_det,
+            # CLI runs persist results by default (reference Model.predict:
+            # save=is_cli); `save=False` on the command line disables it
+            save=cfg.save,
+            save_txt=cfg.save_txt,
+            save_conf=cfg.save_conf,
+            save_crop=cfg.save_crop,
+            project=cfg.project,
+            name=cfg.name,
+            exist_ok=cfg.exist_ok,
         )
         for r in results:
             print(f"{r.path}: {len(r)} detections")

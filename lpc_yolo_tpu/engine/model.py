@@ -186,6 +186,12 @@ class YOLO:
         stream: bool = False,
         **kw,
     ):
+        save_kw = {
+            k: kw[k]
+            for k in ("save", "save_txt", "save_conf", "save_crop", "save_dir",
+                      "project", "name", "exist_ok")
+            if k in kw
+        }
         predictor = Predictor(
             self.model,
             self.variables,
@@ -197,6 +203,7 @@ class YOLO:
             max_det=max_det,
             names=self.names,
             text=jnp.asarray(self.txt_feats) if self.txt_feats is not None else None,
+            **save_kw,
         )
         return predictor(source, stream=stream)
 

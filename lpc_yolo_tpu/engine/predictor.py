@@ -99,6 +99,14 @@ class Predictor:
         max_det: int = 300,
         names: Optional[Dict[int, str]] = None,
         text: Optional[jnp.ndarray] = None,
+        save: bool = False,
+        save_txt: bool = False,
+        save_conf: bool = False,
+        save_crop: bool = False,
+        save_dir: Optional[str] = None,
+        project: Optional[str] = None,
+        name: Optional[str] = None,
+        exist_ok: bool = False,
     ):
         # serve the deploy graph: inference-only block rewrites (e.g. the
         # slice/concat-free C2f, nn/modules.py) over the SAME variable tree
@@ -112,6 +120,22 @@ class Predictor:
         self.max_det = max_det
         self.names = names or {i: str(i) for i in range(model.nc)}
         self.text = text  # (1, M, 512) open-vocab class embeddings (world)
+        # result persistence (reference predictor.py save_preds/write_results:
+        # annotated media into an incremented runs/{task}/predict{N} dir, txt
+        # labels under labels/, crops under crops/)
+        self.save, self.save_txt = save, save_txt
+        self.save_conf, self.save_crop = save_conf, save_crop
+        self.save_dir: Optional[Path] = None
+        if save or save_txt or save_crop:
+            from ..utils.infra import get_save_dir
+
+            dir_task = {"v10": "detect", "v8": "detect", "world": "detect",
+                        "rtdetr": "detect"}.get(task, task)
+            self.save_dir = (
+                Path(save_dir) if save_dir
+                else get_save_dir(dir_task, "predict", project, name, exist_ok)
+            )
+        self._writers: Dict[str, object] = {}
         self._predict_jit = jax.jit(self._predict_fn)
 
     def _predict_fn(self, variables, imgs_u8):
@@ -180,6 +204,52 @@ class Predictor:
         return gen if stream else list(gen)
 
     def stream_inference(self, source) -> Iterator[Results]:
+        if self.save_dir is None:
+            yield from self._stream(source)
+            return
+        try:
+            for r in self._stream(source):
+                self._persist(r)
+                yield r
+        finally:
+            for w in self._writers.values():
+                w.release()
+            self._writers.clear()
+
+    def _persist(self, r: Results) -> None:
+        """Write one result per the save flags (reference write_results)."""
+        import cv2
+
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        path = str(r.path)
+        vid, _, frame = path.partition("#frame")
+        stem = Path(vid).stem or "image0"
+        if self.save:
+            im = r.plot()
+            if frame:  # video frame: append to a per-video writer
+                w = self._writers.get(vid)
+                if w is None:
+                    cap = cv2.VideoCapture(vid)
+                    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                    cap.release()
+                    w = cv2.VideoWriter(
+                        str(self.save_dir / f"{stem}.avi"),
+                        cv2.VideoWriter_fourcc(*"MJPG"), max(fps, 1.0),
+                        (im.shape[1], im.shape[0]),
+                    )
+                    self._writers[vid] = w
+                w.write(im)
+            else:
+                cv2.imwrite(str(self.save_dir / (Path(path).name or "image0.jpg")), im)
+        if self.save_txt:
+            txt_dir = self.save_dir / "labels"
+            txt_dir.mkdir(parents=True, exist_ok=True)
+            txt = f"{stem}_{frame}.txt" if frame else f"{stem}.txt"
+            r.save_txt(str(txt_dir / txt), save_conf=self.save_conf)
+        if self.save_crop:
+            r.save_crop(str(self.save_dir / "crops"), file_name=f"{stem}.jpg")
+
+    def _stream(self, source) -> Iterator[Results]:
         frames = load_source(source)
         B = self.batch
         for i in range(0, len(frames), B):

@@ -75,7 +75,10 @@ class Trainer:
         val: bool = True,
         save: bool = True,
         save_period: int = -1,
-        save_dir: str = "runs/detect/train",
+        save_dir: Optional[str] = None,
+        project: Optional[str] = None,
+        name: Optional[str] = None,
+        exist_ok: bool = False,
         patience: int = 50,
         seed: int = 0,
         resume: bool = False,
@@ -95,7 +98,27 @@ class Trainer:
         self.do_val = val
         self.save = save
         self.save_period = save_period
-        self.save_dir = Path(save_dir)
+        if save_dir is not None:
+            # explicit save_dir wins (tests/tools); resume reuses it as-is
+            self.save_dir = Path(save_dir)
+        else:
+            # reference run-dir semantics (cfg/__init__.py get_save_dir):
+            # {project or runs/<task>}/{name or 'train'}, auto-incremented
+            # train2/train3/... unless exist_ok — but resume reuses the last
+            # existing run dir instead of opening a new one
+            from ..utils.infra import get_save_dir
+
+            task = getattr(yolo, "task", None) or "detect"
+            self.save_dir = get_save_dir(task, "train", project, name, exist_ok)
+            if resume:
+                # resume reuses the newest run that actually has a checkpoint
+                runs = sorted(
+                    (p for p in self.save_dir.parent.glob(f"{name or 'train'}*")
+                     if (p / "weights" / "last.ckpt").exists()),
+                    key=lambda p: p.stat().st_mtime,
+                )
+                if runs:
+                    self.save_dir = runs[-1]
         self.seed = seed
         self.resume = resume
         self.hyp = hyp or {}

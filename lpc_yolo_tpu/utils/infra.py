@@ -108,6 +108,33 @@ class SettingsManager(dict):
         self.__init__(self.file)
 
 
+def increment_path(path, exist_ok: bool = False, sep: str = "", mkdir: bool = False) -> Path:
+    """runs/exp -> runs/exp{sep}2, runs/exp{sep}3, ... (utils/files.py:85).
+
+    Files keep their extension; directories append the number directly.
+    """
+    path = Path(path)
+    if path.exists() and not exist_ok:
+        path, suffix = (path.with_suffix(""), path.suffix) if path.is_file() else (path, "")
+        for n in range(2, 9999):
+            p = f"{path}{sep}{n}{suffix}"
+            if not os.path.exists(p):
+                path = Path(p)
+                break
+    if mkdir:
+        path.mkdir(parents=True, exist_ok=True)
+    return path
+
+
+def get_save_dir(task: str = "detect", mode: str = "predict", project=None,
+                 name=None, exist_ok: bool = False) -> Path:
+    """Run directory from project/name flags (cfg/__init__.py get_save_dir):
+    {project or <settings runs_dir>/task}/{name or mode}, incremented unless
+    exist_ok."""
+    project = Path(project) if project else Path(SettingsManager()["runs_dir"]) / task
+    return increment_path(project / (name or mode), exist_ok=exist_ok)
+
+
 class TryExcept:
     """Context manager / decorator swallowing exceptions with a log line
     (utils/__init__.py:723)."""
