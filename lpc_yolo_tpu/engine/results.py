@@ -73,6 +73,14 @@ class Boxes:
     def numpy(self):
         return self
 
+    # host-resident numpy containers: device moves are identity ops here
+    # (reference BaseTensor.cuda/.to move torch tensors)
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
 
 class OBBoxes:
     """Oriented bounding boxes (N, 7) = [cx, cy, w, h, angle, conf, cls]
@@ -113,6 +121,12 @@ class OBBoxes:
         v2 = np.stack([-rb[:, 3] / 2 * s, rb[:, 3] / 2 * c], axis=-1)
         ctr = rb[:, :2]
         return np.stack([ctr + v1 + v2, ctr + v1 - v2, ctr - v1 - v2, ctr - v1 + v2], axis=1)
+
+    @property
+    def xyxyxyxyn(self) -> np.ndarray:
+        """(N, 4, 2) corner points normalized by the original frame size."""
+        h, w = self.orig_shape
+        return self.xyxyxyxy / np.array([w, h], self.data.dtype)
 
     @property
     def xyxy(self) -> np.ndarray:
@@ -156,6 +170,14 @@ class Masks:
     def numpy(self):
         return self
 
+    # host-resident numpy containers: device moves are identity ops here
+    # (reference BaseTensor.cuda/.to move torch tensors)
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
     @property
     def xy(self):
         """Per-mask largest contour as pixel-space (K, 2) polygons."""
@@ -181,6 +203,49 @@ class Masks:
         return [p / np.array([w0, h0], np.float32) for p in self.xy]
 
 
+class Probs(np.ndarray):
+    """Classification probabilities with top-1/top-5 accessors (reference
+    engine/results.py Probs). An ndarray subclass, so existing array uses
+    (shape/sum/indexing/np.asarray) keep working."""
+
+    def __new__(cls, data):
+        return np.asarray(data, np.float32).view(cls)
+
+    @property
+    def data(self) -> np.ndarray:
+        return np.asarray(self)
+
+    @property
+    def top1(self) -> int:
+        return int(np.argmax(np.asarray(self)))
+
+    @property
+    def top5(self):
+        return np.argsort(-np.asarray(self))[:5].tolist()
+
+    @property
+    def top1conf(self) -> float:
+        return float(np.asarray(self)[self.top1])
+
+    @property
+    def top5conf(self) -> np.ndarray:
+        return np.asarray(self)[self.top5]
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self
+
+    # host-resident numpy containers: device moves are identity ops here
+    # (reference BaseTensor.cuda/.to move torch tensors)
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
+        return self
+
+
 class Results:
     """One image's predictions (mirrors engine/results.py:66-430)."""
 
@@ -202,7 +267,7 @@ class Results:
         self.names = names
         self.boxes = Boxes(boxes, self.orig_shape) if boxes is not None else None
         self.masks = Masks(masks, self.orig_shape) if masks is not None else None
-        self.probs = probs
+        self.probs = Probs(probs) if probs is not None else None
         self.keypoints = keypoints
         self.obb = OBBoxes(obb, self.orig_shape) if obb is not None else None
         self.speed = speed or {}
@@ -293,24 +358,87 @@ class Results:
                 file=Path(save_dir) / name / file_name,
             )
 
-    def to_json(self, normalize: bool = False) -> str:
+    def summary(self, normalize: bool = False, decimals: int = 5) -> list:
+        """Per-detection dicts (reference Results.summary: name/class/
+        confidence/box + segments xy + keypoints; classify -> its top-1)."""
+        h, w = self.orig_shape
+
+        def rnd(v, d=decimals):
+            return round(float(v), d)
+
+        if self.probs is not None:
+            return [{
+                "name": self.names.get(self.probs.top1, str(self.probs.top1)),
+                "class": self.probs.top1,
+                "confidence": rnd(self.probs.top1conf),
+            }]
         rows = []
-        if self.boxes is not None:
-            h, w = self.orig_shape
-            for row in self.boxes.data:
-                x1, y1, x2, y2 = row[:4].tolist()
-                cf, c = float(row[-2]), float(row[-1])
+        if self.boxes is None:
+            return rows
+        ids = self.boxes.id
+        kpts = np.asarray(self.keypoints) if self.keypoints is not None else None
+        seg_xy = self.masks.xy if self.masks is not None else None
+        for i, row in enumerate(np.asarray(self.boxes.data)):
+            x1, y1, x2, y2 = row[:4].tolist()
+            cf, c = float(row[-2]), int(row[-1])
+            if normalize:
+                x1, x2, y1, y2 = x1 / w, x2 / w, y1 / h, y2 / h
+            d = {
+                "name": self.names.get(c, str(c)),
+                "class": c,
+                "confidence": rnd(cf),
+                "box": {"x1": rnd(x1), "y1": rnd(y1), "x2": rnd(x2), "y2": rnd(y2)},
+            }
+            if ids is not None:
+                d["track_id"] = int(ids[i])
+            if seg_xy is not None and i < len(seg_xy) and len(seg_xy[i]):
+                pts = np.asarray(seg_xy[i], np.float64)
                 if normalize:
-                    x1, x2, y1, y2 = x1 / w, x2 / w, y1 / h, y2 / h
-                rows.append(
-                    {
-                        "name": self.names.get(int(c), str(int(c))),
-                        "class": int(c),
-                        "confidence": round(cf, 5),
-                        "box": {"x1": x1, "y1": y1, "x2": x2, "y2": y2},
-                    }
-                )
-        return json.dumps(rows, indent=2)
+                    pts = pts / [w, h]
+                d["segments"] = {"x": [rnd(v) for v in pts[:, 0]],
+                                 "y": [rnd(v) for v in pts[:, 1]]}
+            if kpts is not None and i < len(kpts):
+                kp = kpts[i].astype(np.float64)
+                x, y = kp[:, 0], kp[:, 1]
+                if normalize:
+                    x, y = x / w, y / h
+                d["keypoints"] = {"x": [rnd(v) for v in x], "y": [rnd(v) for v in y]}
+                if kp.shape[1] > 2:
+                    d["keypoints"]["visible"] = [rnd(v) for v in kp[:, 2]]
+            rows.append(d)
+        return rows
+
+    def tojson(self, normalize: bool = False, decimals: int = 5) -> str:
+        """JSON of summary() (reference Results.tojson)."""
+        return json.dumps(self.summary(normalize=normalize, decimals=decimals), indent=2)
+
+    # original spelling of this port, kept as an alias
+    to_json = tojson
+
+    def verbose(self) -> str:
+        """Per-class count string '3 persons, 1 car, ' (reference Results.verbose)."""
+        if self.probs is not None:
+            return ", ".join(
+                f"{self.names.get(j, str(j))} {float(np.asarray(self.probs)[j]):.2f}"
+                for j in self.probs.top5
+            ) + ", "
+        if self.boxes is None or len(self.boxes) == 0:
+            return "(no detections), "
+        cls = np.asarray(self.boxes.data)[:, -1].astype(int)
+        return "".join(
+            f"{n} {self.names.get(int(c), str(c))}{'s' * (n > 1)}, "
+            for c, n in zip(*np.unique(cls, return_counts=True))
+        )
+
+    def show(self):
+        """Display the annotated image (reference Results.show via PIL)."""
+        from PIL import Image
+
+        Image.fromarray(self.plot()[..., ::-1]).show()
+
+    def new(self) -> "Results":
+        """Empty Results over the same frame (reference Results.new)."""
+        return Results(self.orig_img, self.path, self.names, speed=self.speed)
 
     def save_txt(self, txt_file: str, save_conf: bool = False) -> str:
         lines = []
@@ -333,4 +461,12 @@ class Results:
         return self
 
     def numpy(self):
+        return self
+
+    # host-resident numpy containers: device moves are identity ops here
+    # (reference BaseTensor.cuda/.to move torch tensors)
+    def cuda(self):
+        return self
+
+    def to(self, *args, **kwargs):
         return self

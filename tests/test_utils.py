@@ -260,6 +260,54 @@ def test_results_plot_with_masks_and_kpts():
     assert out.shape == img.shape and out.sum() > 0
 
 
+def test_results_summary_tojson_verbose():
+    """summary/tojson/verbose/new/Probs accessors (reference Results API:
+    engine/results.py summary:390, tojson:420, verbose:330, Probs:585)."""
+    import json as _json
+
+    import numpy as np
+
+    from lpc_yolo_tpu.engine.results import Probs, Results
+
+    img = np.zeros((64, 128, 3), np.uint8)
+    boxes = np.array(
+        [[8, 8, 32, 32, 0.9, 0], [10, 10, 20, 20, 0.8, 0], [4, 4, 8, 8, 0.7, 1]],
+        np.float32,
+    )
+    kpts = np.zeros((3, 17, 3), np.float32)
+    r = Results(img, "x.jpg", {0: "person", 1: "car"}, boxes=boxes, keypoints=kpts)
+    rows = r.summary()
+    assert len(rows) == 3 and rows[0]["name"] == "person"
+    assert set(rows[0]["box"]) == {"x1", "y1", "x2", "y2"}
+    assert "visible" in rows[0]["keypoints"]
+    norm = r.summary(normalize=True)
+    assert norm[0]["box"]["x2"] == 32 / 128 and norm[0]["box"]["y2"] == 32 / 64
+    assert _json.loads(r.tojson())[1]["confidence"] == 0.8
+    assert r.verbose() == "2 persons, 1 car, "
+    assert len(r.new()) == 0 and r.new().path == "x.jpg"
+    assert r.cuda() is r and r.to("cpu") is r
+
+    p = Probs(np.array([0.1, 0.6, 0.3], np.float32))
+    assert p.top1 == 1 and p.top5 == [1, 2, 0]
+    assert abs(p.top1conf - 0.6) < 1e-6
+    rc = Results(img, "x.jpg", {1: "cat"}, probs=np.array([0.1, 0.9]))
+    assert rc.summary() == [{"name": "cat", "class": 1, "confidence": 0.9}]
+    assert rc.verbose().startswith("cat 0.90")
+
+
+def test_obb_xyxyxyxyn():
+    import numpy as np
+
+    from lpc_yolo_tpu.engine.results import OBBoxes
+
+    rb = np.array([[32, 16, 20, 10, 0.0, 0.9, 0]], np.float32)
+    ob = OBBoxes(rb, (64, 128))
+    n = ob.xyxyxyxyn
+    assert n.shape == (1, 4, 2)
+    np.testing.assert_allclose(sorted(np.unique(n[0, :, 0])), [22 / 128, 42 / 128], atol=1e-6)
+    np.testing.assert_allclose(sorted(np.unique(n[0, :, 1])), [11 / 64, 21 / 64], atol=1e-6)
+
+
 def test_hub_dataset_stats(tmp_path):
     """HUBDatasetStats: per-split instance/image stats + rounded labels +
     compressed previews (reference data/utils.py:424-585)."""
