@@ -56,6 +56,9 @@ class YOLO:
     def __init__(self, model: Union[str, Path] = "yolov10n.yaml", task: Optional[str] = None, nc: Optional[int] = None):
         self.ckpt_path = str(model)
         self.overrides: Dict[str, Any] = {}
+        # user callback hooks, merged into each Trainer's event bus
+        # (reference Model.add_callback, engine/model.py:769)
+        self.callbacks: Dict[str, list] = {}
         self.names = dict(COCO80)
         self.model_yaml: Optional[Dict] = None
         if str(model).endswith(".pt"):
@@ -271,6 +274,119 @@ class YOLO:
 
         self.variables = fuse_conv_bn(self.variables)
         return self
+
+    # -- callback hooks (reference Model.add_callback/clear_callback/
+    #    reset_callbacks, engine/model.py:769-800); the Trainer merges these
+    #    into its event bus --
+    def add_callback(self, event: str, func) -> None:
+        self.callbacks.setdefault(event, []).append(func)
+
+    def clear_callback(self, event: str) -> None:
+        self.callbacks[event] = []
+
+    def reset_callbacks(self) -> None:
+        self.callbacks = {}
+
+    def save(self, filename: Union[str, Path] = "saved_model.ckpt") -> str:
+        """Persist weights+metadata as a native .ckpt loadable by YOLO()
+        (reference Model.save, engine/model.py:283)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        meta = {"nc": self.model.nc, "task": self.task,
+                "model_yaml": self.model_yaml, "names": self.names}
+        save_checkpoint(Path(filename), self.variables, meta)
+        return str(filename)
+
+    def load(self, weights: Union[str, Path, "YOLO"]) -> "YOLO":
+        """Transfer weights into this model wherever path AND shape match
+        (reference Model.load -> intersect_dicts semantics: partial transfer
+        for fine-tuning a model with a different head)."""
+        other = weights if isinstance(weights, YOLO) else YOLO(str(weights))
+        flat_o = dict(jax.tree_util.tree_flatten_with_path(other.variables)[0])
+
+        def pick(path, leaf):
+            src = flat_o.get(path)
+            return src if src is not None and src.shape == leaf.shape else leaf
+
+        self.variables = jax.tree_util.tree_map_with_path(pick, self.variables)
+        return self
+
+    def reset_weights(self) -> "YOLO":
+        """Re-initialize all parameters/BN stats (reference Model.reset_weights)."""
+        self.variables = _jit_init(self.model)
+        return self
+
+    def embed(self, source, imgsz: int = 224, batch: int = 1):
+        """Feature embeddings for source images (reference Model.embed,
+        engine/model.py:370: predict with embed=[penultimate]): the graph up
+        to the layer before the head, global-average-pooled and L2-normalized.
+        Returns one 1-D np.ndarray per image."""
+        from ..nn.compiler import DetectionModel
+
+        from .predictor import load_source
+        from ..ops.letterbox import letterbox_image
+
+        specs = self.model.specs[:-1]
+        keep = {f"model_{s.i}" for s in specs}
+        trunk = DetectionModel(specs=specs, save=self.model.save, nc=self.model.nc,
+                               strides=self.model.strides,
+                               default_act=self.model.default_act, dtype=self.model.dtype)
+        tvars = {c: {k: v for k, v in self.variables[c].items() if k in keep}
+                 for c in ("params", "batch_stats") if c in self.variables}
+
+        @jax.jit
+        def run(imgs_u8):
+            x = imgs_u8.astype(jnp.float32)[..., ::-1] / 255.0  # BGR->RGB
+            feat = trunk.apply(tvars, x, training=False)
+            emb = jnp.mean(feat, axis=(1, 2))
+            return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-20)
+
+        frames = load_source(source)
+        out = []
+        for i in range(0, len(frames), batch):
+            chunk = frames[i : i + batch]
+            arr = np.stack([letterbox_image(im, (imgsz, imgsz))[0] for _, im in chunk])
+            pad = batch - len(chunk)
+            if pad:
+                arr = np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+            emb = np.asarray(run(jnp.asarray(arr)))
+            out.extend(emb[: len(chunk)])
+        return out
+
+    @property
+    def device(self) -> str:
+        """The accelerator backing jitted calls (reference Model.device)."""
+        d = jax.devices()[0]
+        return f"{d.platform}:{d.id}"
+
+    @property
+    def task_map(self) -> Dict[str, Dict[str, Any]]:
+        """task -> engine components (reference Model.task_map via subclasses)."""
+        from .predictor import Predictor
+        from .trainer import Trainer
+        from .validator import Validator
+
+        return {
+            t: {"trainer": Trainer, "validator": Validator, "predictor": Predictor}
+            for t in ("detect", "v8", "v10", "segment", "pose", "obb", "classify",
+                      "rtdetr", "world")
+        }
+
+    @staticmethod
+    def is_hub_model(model: str) -> bool:
+        """True for Ultralytics-HUB model references (reference Model.is_hub_model)."""
+        s = str(model)
+        return s.startswith("https://hub.ultralytics.com/models/") or (
+            len(s) in (20, 42) and not Path(s).exists() and all(c.isalnum() for c in s)
+        )
+
+    @staticmethod
+    def is_triton_model(model: str) -> bool:
+        """True for Triton-server URLs (reference Model.is_triton_model)."""
+        from urllib.parse import urlsplit
+
+        u = urlsplit(str(model))
+        return u.scheme in ("http", "grpc") and bool(u.netloc) and bool(u.path)
 
     @property
     def n_params(self) -> int:

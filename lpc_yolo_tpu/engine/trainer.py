@@ -124,6 +124,10 @@ class Trainer:
         self.hyp = hyp or {}
         self.patience = patience
         self.callbacks = CallbackRegistry()
+        # user hooks registered on the facade (Model.add_callback)
+        for event, fns in getattr(yolo, "callbacks", {}).items():
+            for fn in fns:
+                self.callbacks.add(event, fn)
         # observability sinks (reference add_integration_callbacks in
         # BaseTrainer.__init__): TB if available + mlflow-filestore/dvclive/
         # jsonl (dependency-free layouts under save_dir)
