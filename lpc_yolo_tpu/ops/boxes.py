@@ -206,3 +206,85 @@ def rbox_hull(rbox: jnp.ndarray) -> jnp.ndarray:
     lo = jnp.min(pts, axis=-2)
     hi = jnp.max(pts, axis=-2)
     return jnp.concatenate([lo, hi], axis=-1)
+
+
+def ltwh2xywh(x: jnp.ndarray) -> jnp.ndarray:
+    """(left, top, w, h) -> (cx, cy, w, h) (ops.py ltwh2xywh)."""
+    l, t, w, h = jnp.split(x, 4, axis=-1)
+    return jnp.concatenate([l + w / 2, t + h / 2, w, h], axis=-1)
+
+
+def xywh2ltwh(x: jnp.ndarray) -> jnp.ndarray:
+    """(cx, cy, w, h) -> (left, top, w, h) (ops.py xywh2ltwh)."""
+    cx, cy, w, h = jnp.split(x, 4, axis=-1)
+    return jnp.concatenate([cx - w / 2, cy - h / 2, w, h], axis=-1)
+
+
+def clip_coords(coords: jnp.ndarray, shape) -> jnp.ndarray:
+    """Clip (..., 2) xy points to image shape (h, w) (ops.py clip_coords)."""
+    x = jnp.clip(coords[..., 0:1], 0, shape[1])
+    y = jnp.clip(coords[..., 1:2], 0, shape[0])
+    return jnp.concatenate([x, y] + ([coords[..., 2:]] if coords.shape[-1] > 2 else []), axis=-1)
+
+
+def scale_coords(img1_shape, coords, img0_shape, ratio_pad=None,
+                 normalize: bool = False, padding: bool = True):
+    """Rescale (..., 2+) xy coords (keypoints/segments) from letterboxed
+    img1_shape (h, w) back to img0_shape (ops.py scale_coords)."""
+    if ratio_pad is None:
+        gain = min(img1_shape[0] / img0_shape[0], img1_shape[1] / img0_shape[1])
+        pad = ((img1_shape[1] - img0_shape[1] * gain) / 2,
+               (img1_shape[0] - img0_shape[0] * gain) / 2)
+    else:
+        gain, pad = ratio_pad[0][0], ratio_pad[1]
+    x = coords[..., 0:1]
+    y = coords[..., 1:2]
+    if padding:
+        x = x - pad[0]
+        y = y - pad[1]
+    x, y = x / gain, y / gain
+    out = jnp.concatenate([x, y] + ([coords[..., 2:]] if coords.shape[-1] > 2 else []), axis=-1)
+    out = clip_coords(out, img0_shape)
+    if normalize:
+        out = out / jnp.asarray([img0_shape[1], img0_shape[0]] + [1.0] * (coords.shape[-1] - 2),
+                                out.dtype)
+    return out
+
+
+def segment2box(segment, width: float = 640.0, height: float = 640.0):
+    """Polygon (n, 2) -> xyxy box of its inside-image points (ops.py segment2box)."""
+    import numpy as np
+
+    seg = np.asarray(segment)
+    x, y = seg[:, 0], seg[:, 1]
+    inside = (x >= 0) & (y >= 0) & (x <= width) & (y <= height)
+    x, y = x[inside], y[inside]
+    if not len(x):
+        return np.zeros(4, seg.dtype)
+    return np.array([x.min(), y.min(), x.max(), y.max()], seg.dtype)
+
+
+def regularize_rboxes(rboxes: jnp.ndarray) -> jnp.ndarray:
+    """Canonical rotated boxes: long side as w, angle wrapped to [0, pi)
+    (ops.py regularize_rboxes — swap edges and add pi/2 when h >= w)."""
+    x, y, w, h, t = jnp.split(rboxes, 5, axis=-1)
+    long_first = w > h
+    w_, h_ = jnp.where(long_first, w, h), jnp.where(long_first, h, w)
+    t_ = jnp.where(long_first, t, t + math.pi / 2) % math.pi
+    return jnp.concatenate([x, y, w_, h_, t_], axis=-1)
+
+
+def xyxyxyxy2xywhr(corners):
+    """(..., 4, 2) rectangle corners -> (..., 5) (cx, cy, w, h, rad)
+    (ops.py xyxyxyxy2xywhr, which runs cv2.minAreaRect per box; for the
+    rectangular corner sets this framework produces, the minimum-area rect IS
+    the quad, so the closed form below is exact and stays jit-safe)."""
+    pts = jnp.asarray(corners)
+    ctr = jnp.mean(pts, axis=-2)
+    e1 = pts[..., 1, :] - pts[..., 0, :]
+    e2 = pts[..., 2, :] - pts[..., 1, :]
+    w = jnp.linalg.norm(e1, axis=-1)
+    h = jnp.linalg.norm(e2, axis=-1)
+    t = jnp.arctan2(e1[..., 1], e1[..., 0]) % math.pi
+    rb = jnp.concatenate([ctr, w[..., None], h[..., None], t[..., None]], axis=-1)
+    return regularize_rboxes(rb)

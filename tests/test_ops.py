@@ -190,3 +190,83 @@ def test_v10_postprocess_parity_vs_reference():
         ours = ours[np.lexsort(ours.T[::-1])]
         ref = ref[np.lexsort(ref.T[::-1])]
         np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+@pytest.mark.skipif(not HAS_REF, reason="reference repo not present")
+def test_conversion_ops_parity_vs_reference():
+    """ltwh/xywh/coords/segment/rbox utility ops match the reference numerics
+    (utils/ops.py:382-576)."""
+    import torch
+
+    _ref_ultralytics()
+    from ultralytics.utils import ops as rops
+
+    from lpc_yolo_tpu.ops.boxes import (
+        clip_coords,
+        ltwh2xywh,
+        regularize_rboxes,
+        scale_coords,
+        segment2box,
+        xywh2ltwh,
+        xywhr2xyxyxyxy,
+        xyxyxyxy2xywhr,
+    )
+
+    rng = np.random.RandomState(0)
+    ltwh = (rng.rand(16, 4) * 100).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ltwh2xywh(jnp.asarray(ltwh))),
+        rops.ltwh2xywh(torch.from_numpy(ltwh)).numpy(), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(xywh2ltwh(jnp.asarray(ltwh))),
+        rops.xywh2ltwh(torch.from_numpy(ltwh)).numpy(), atol=1e-5)
+
+    pts = (rng.rand(8, 17, 3) * 800 - 50).astype(np.float32)
+    ours = np.asarray(clip_coords(jnp.asarray(pts.copy()), (480, 640)))
+    theirs = rops.clip_coords(torch.from_numpy(pts.copy()), (480, 640)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    k = (rng.rand(8, 17, 2) * 600).astype(np.float32)
+    ours = np.asarray(scale_coords((640, 640), jnp.asarray(k.copy()), (480, 608)))
+    theirs = rops.scale_coords((640, 640), torch.from_numpy(k.copy()), (480, 608)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+    seg = (rng.rand(40, 2) * 800 - 40).astype(np.float32)
+    np.testing.assert_allclose(segment2box(seg, 640, 640),
+                               rops.segment2box(seg.copy(), 640, 640), atol=1e-5)
+
+    rb = np.concatenate([rng.rand(32, 2) * 100 + 50, rng.rand(32, 2) * 40 + 5,
+                         rng.rand(32, 1) * np.pi], -1).astype(np.float32)
+    ours = np.asarray(regularize_rboxes(jnp.asarray(rb)))
+    theirs = rops.regularize_rboxes(torch.from_numpy(rb)).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+    # corners <-> rbox round-trip through OUR corner expansion: the recovered
+    # canonical rbox must describe the same rectangle as regularize(original)
+    reg = np.asarray(regularize_rboxes(jnp.asarray(rb)))
+    rec = np.asarray(xyxyxyxy2xywhr(xywhr2xyxyxyxy(jnp.asarray(rb))))
+    np.testing.assert_allclose(rec[:, :2], reg[:, :2], atol=1e-3)
+    np.testing.assert_allclose(np.sort(rec[:, 2:4]), np.sort(reg[:, 2:4]), atol=1e-3)
+
+
+def test_mask_scale_ops():
+    """masks2segments/scale_image/scale_masks behavior (utils/ops.py:630-722)."""
+    import cv2  # noqa: F401  (masks2segments needs cv2)
+
+    from lpc_yolo_tpu.ops.masks import masks2segments, scale_image, scale_masks
+
+    m = np.zeros((2, 64, 64), np.float32)
+    m[0, 10:20, 10:30] = 1
+    m[1, 40:60, 5:15] = 1
+    segs = masks2segments(m)
+    assert len(segs) == 2 and segs[0].shape[1] == 2
+    assert segs[0][:, 0].min() >= 9 and segs[0][:, 0].max() <= 30
+
+    # letterboxed 64x64 -> original 32x64 frame (pad 16 top/bottom)
+    im = np.zeros((64, 64, 3), np.float32)
+    im[16:48] = 1.0
+    out = scale_image(im, (32, 64))
+    assert out.shape == (32, 64, 3) and out.min() > 0.9
+
+    sm = scale_masks(jnp.asarray(m[None])[0][None] if False else jnp.asarray(m), (32, 64))
+    assert sm.shape == (2, 32, 64)

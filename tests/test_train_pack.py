@@ -53,10 +53,11 @@ def test_train_pack_exact_f64():
 
 def test_train_pack_step_runs(tmp_path):
     """A packed train step runs end-to-end (CPU: exercises the graph shape
-    handling; the TPU perf win is benched by tools/bench_train.py)."""
+    handling on the tiny config — all of whose stages are in the <128-lane
+    pack regime; the TPU perf win is benched by tools/bench_train.py)."""
     from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
 
-    model = build_model("lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml", nc=3,
+    model = build_model("tests/assets/tiny-v10.yaml", nc=3,
                         dtype=jnp.float32, train_pack=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
     cfg = OptConfig(total_steps=10, warmup_steps=2)
