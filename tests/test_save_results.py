@@ -82,3 +82,24 @@ def test_trainer_save_dir_increments(tiny_yolo, tmp_path):
     t3 = Trainer(tiny_yolo, data="unused.yaml", project=str(tmp_path / "runs"),
                  name="train", exist_ok=True)
     assert t3.save_dir.name == "train"
+
+
+def test_cli_predict_saves_by_default(tmp_path, capsys):
+    """`yolo predict` persists annotated results by default (reference
+    Model.predict save=is_cli); save=False on the command line disables it."""
+    from lpc_yolo_tpu.cfg import entrypoint
+
+    src = tmp_path / "in.jpg"
+    cv2.imwrite(str(src), (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8))
+    entrypoint([
+        "predict", "model=tests/assets/tiny-v10.yaml", f"source={src}",
+        "imgsz=64", "conf=0.0", f"project={tmp_path / 'runs'}", "name=cli",
+    ])
+    assert (tmp_path / "runs" / "cli" / "in.jpg").exists()
+    capsys.readouterr()
+    entrypoint([
+        "predict", "model=tests/assets/tiny-v10.yaml", f"source={src}",
+        "imgsz=64", "conf=0.0", "save=False", f"project={tmp_path / 'runs'}", "name=off",
+    ])
+    assert not (tmp_path / "runs" / "off").exists()
+    capsys.readouterr()
