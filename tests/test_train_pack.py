@@ -73,3 +73,33 @@ def test_train_pack_step_runs(tmp_path):
     batch["bboxes"] = batch["bboxes"].at[..., 2:].add(batch["bboxes"][..., :2])
     state, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_pack_mesh_sharded_step():
+    """train_pack composes with mesh data-parallelism: on a multi-chip TPU
+    host the Trainer enables BOTH (clone(train_pack=True) + shard_batch), so
+    the packed training graph must compile and run under an 8-device mesh
+    (the WPACK reshape is per-sample and the batch axis shards cleanly)."""
+    from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
+    from lpc_yolo_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
+
+    model = build_model("tests/assets/tiny-v10.yaml", nc=3,
+                        dtype=jnp.float32, train_pack=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    cfg = OptConfig(total_steps=10, warmup_steps=2)
+    state, tx = init_train_state(model, variables, cfg)
+    step = make_train_step(model, tx, cfg)
+    mesh = data_parallel_mesh(batch_size=8)
+    assert mesh.devices.size == 8
+    state = replicate(state, mesh)
+    rng = np.random.RandomState(0)
+    batch = {
+        "img": jnp.asarray((rng.rand(8, 64, 64, 3) * 255).astype(np.uint8)),
+        "cls": jnp.asarray(rng.randint(0, 3, (8, 4)).astype(np.int32)),
+        "bboxes": jnp.asarray((rng.rand(8, 4, 4) * 20 + 5).astype(np.float32)),
+        "mask": jnp.asarray(np.ones((8, 4), bool)),
+    }
+    batch["bboxes"] = batch["bboxes"].at[..., 2:].add(batch["bboxes"][..., :2])
+    device_batch = shard_batch(batch, mesh)
+    state, metrics = step(state, device_batch)
+    assert np.isfinite(float(metrics["loss"]))
