@@ -26,8 +26,8 @@ EXPORT_FORMATS = {
     "saved_model": "TensorFlow SavedModel (jax2tf)",
     "tflite": "TFLite flatbuffer (jax2tf + TFLiteConverter)",
     "tflite-int8": "TFLite int8 full-integer quantization",
-    "onnx": "ONNX graph (built-in jaxpr->ONNX converter; raw NCHW pred head)",
-    "torchscript": "TorchScript module (jaxpr->torch interpreter + jit.trace; raw NCHW pred head)",
+    "onnx": "ONNX graph (built-in jaxpr->ONNX converter; in-graph v10 decode, raw_head=True opts out)",
+    "torchscript": "TorchScript module (jaxpr->torch interpreter + jit.trace; in-graph v10 decode, raw_head=True opts out)",
     "pb": "TensorFlow GraphDef frozen graph (jax2tf + constant folding)",
 }
 UNSUPPORTED = {
@@ -65,8 +65,14 @@ def export_model(
     out_dir: Optional[str] = None,
     int8_calibration: Optional[np.ndarray] = None,
     max_det: int = 300,
+    raw_head: bool = False,
 ) -> str:
-    """Export the facade's model; returns the artifact path."""
+    """Export the facade's model; returns the artifact path.
+
+    raw_head=True opts the ONNX/TorchScript artifacts out of the in-graph
+    v10 decode and emits the raw (B, anchors, 4+nc) pred map instead (the
+    pre-round-4 behavior; some clients prefer running their own NMS/top-k).
+    """
     fmt = str(fmt).lower().replace("int8", "tflite-int8") if fmt == "int8" else str(fmt).lower()
     if fmt in UNSUPPORTED:
         raise NotImplementedError(f"export format '{fmt}': {UNSUPPORTED[fmt]}")
@@ -90,27 +96,58 @@ def export_model(
         save_checkpoint(path, yolo.variables, meta)
         return str(path)
 
-    if fmt == "onnx":
-        # Raw prediction-head graph, matching the reference's ONNX semantics
-        # (exporter.py:354: decoded head map, NMS/top-k done by the client —
-        # its OpenCV-DNN/ORT example clients all consume this layout). Input
-        # is fp32 NCHW in [0,1] (ONNX convention); output 'pred' is
-        # (B, anchors, 4+nc) xyxy-pixels + sigmoid class scores.
-        from .onnx_export import export_onnx
+    # ONNX / TorchScript share one graph choice. v10 models export the full
+    # NMS-free decode in-graph, output (B, max_det, 6) — same artifact
+    # semantics as the reference's export trace (reference nn/modules/
+    # head.py:515-523 v10Detect export mode + engine/exporter.py:232-237);
+    # non-v10 heads (one-to-many, need NMS) export the raw pred map like the
+    # reference's v8 ONNX artifact. raw_head=True forces raw for v10 too.
+    decode_in_graph = (
+        fmt in ("onnx", "torchscript")
+        and not raw_head
+        and getattr(yolo.model, "specs", None)
+        and yolo.model.specs[-1].module == "v10Detect"
+    )
+
+    if fmt in ("onnx", "torchscript"):
+        from ..ops.postprocess import v10_detections
 
         model, variables = yolo.model, yolo.variables
+        if model.dtype != jnp.float32:
+            # TPU builds compute in bf16, but ONNX/TorchScript artifacts are
+            # fp32 (the reference exports fp32 unless half=True, and neither
+            # target runtime accelerates bf16 on CPU). Params are stored f32
+            # regardless of compute dtype, so an f32-compute clone applies
+            # the same variable tree unchanged.
+            from ..nn.compiler import DetectionModel
 
-        def raw_fn(img_nchw):
+            model = DetectionModel(specs=model.specs, save=model.save, nc=model.nc,
+                                   strides=model.strides, default_act=model.default_act,
+                                   dtype=jnp.float32)
+
+        def client_fn(img_nchw):
             out = model.apply(variables, img_nchw, training=False, input_layout="NCHW")
+            if decode_in_graph:
+                return v10_detections(out["pred"], max_det, model.nc)
             return out["pred"]
+
+        out_desc = (
+            f"det (B, {max_det}, 6) = [x1,y1,x2,y2,score,label] (in-graph NMS-free decode)"
+            if decode_in_graph
+            else "pred (B, anchors, 4+nc) xyxy + sigmoid scores"
+        )
+
+    if fmt == "onnx":
+        # Input is fp32 NCHW in [0,1] (ONNX convention).
+        from .onnx_export import export_onnx
 
         path = out_dir / f"{stem}.onnx"
         export_onnx(
-            raw_fn,
+            client_fn,
             (jax.ShapeDtypeStruct((batch, 3, imgsz, imgsz), jnp.float32),),
             str(path),
             input_names=["images"],
-            output_names=["pred"],
+            output_names=["det" if decode_in_graph else "pred"],
             graph_name=stem,
         )
         (out_dir / f"{stem}.onnx.json").write_text(
@@ -118,7 +155,7 @@ def export_model(
                 {
                     "input": [batch, 3, imgsz, imgsz],
                     "input_layout": "NCHW fp32 [0,1]",
-                    "output": "pred (B, anchors, 4+nc) xyxy + sigmoid scores",
+                    "output": out_desc,
                     "nc": yolo.model.nc,
                 }
             )
@@ -126,27 +163,21 @@ def export_model(
         return str(path)
 
     if fmt == "torchscript":
-        # Same raw-pred-head semantics as the ONNX path: input fp32 NCHW in
-        # [0,1], output (B, anchors, 4+nc) xyxy + sigmoid scores; NMS/top-k in
-        # the client. Metadata rides _extra_files['config.txt'] like the
-        # reference exporter (engine/exporter.py:326-330) for LibTorch clients.
+        # Same graph semantics as the ONNX path (decoded for v10, raw
+        # otherwise): input fp32 NCHW in [0,1]. Metadata rides
+        # _extra_files['config.txt'] like the reference exporter
+        # (engine/exporter.py:326-330) for LibTorch clients.
         from .torch_export import export_torchscript
-
-        model, variables = yolo.model, yolo.variables
-
-        def raw_fn(img_nchw):
-            out = model.apply(variables, img_nchw, training=False, input_layout="NCHW")
-            return out["pred"]
 
         path = out_dir / f"{stem}.torchscript"
         export_torchscript(
-            raw_fn,
+            client_fn,
             (jax.ShapeDtypeStruct((batch, 3, imgsz, imgsz), jnp.float32),),
             str(path),
             metadata={
                 "input": [batch, 3, imgsz, imgsz],
                 "input_layout": "NCHW fp32 [0,1]",
-                "output": "pred (B, anchors, 4+nc) xyxy + sigmoid scores",
+                "output": out_desc,
                 "nc": yolo.model.nc,
                 "names": getattr(yolo, "names", None),
             },

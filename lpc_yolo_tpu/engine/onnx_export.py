@@ -333,6 +333,27 @@ for _prim, _op in {
     _EMITTERS[_prim] = _elementwise(_op)
 
 
+def _bool_via_int(arith: str):
+    """OpenCV-DNN 5.0 rejects bool inputs in its nary-eltwise kernels, so
+    lower bool logic through int32 arithmetic: And=Mul, Or=Max, Xor=|a-b|."""
+
+    def fn(b: _Builder, eqn, ins):
+        i32 = _onnx_dtype(np.dtype(np.int32))
+        a = b.add1("Cast", [ins[0]], to=i32)
+        c = b.add1("Cast", [ins[1]], to=i32)
+        out = b.add1(arith, [a, c])
+        if arith == "Sub":
+            out = b.add1("Abs", [out])
+        return b.add1("Cast", [out], to=_onnx_dtype(np.dtype(np.bool_)))
+
+    return fn
+
+
+_EMITTERS["and"] = _bool_via_int("Mul")
+_EMITTERS["or"] = _bool_via_int("Max")
+_EMITTERS["xor"] = _bool_via_int("Sub")
+
+
 @_emit("rsqrt")
 def _rsqrt(b, eqn, ins):
     return b.add1("Reciprocal", [b.add1("Sqrt", ins)])
@@ -514,6 +535,18 @@ def _argmax(b, eqn, ins):
     return out if dt == 7 else b.add1("Cast", [out], to=dt)
 
 
+@_emit("top_k")
+def _top_k(b, eqn, ins):
+    """lax.top_k (last axis, sorted, largest) -> ONNX TopK-11. The indices
+    output casts back to int32 (lax contract; ONNX TopK emits int64)."""
+    k = int(eqn.params["k"])
+    vals, idxs = b.add(
+        "TopK", [ins[0], b.const(np.array([k], np.int64), "k")],
+        n_out=2, hint="topk", axis=-1, largest=1, sorted=1,
+    )
+    return [vals, b.add1("Cast", [idxs], to=_onnx_dtype(np.dtype(np.int32)))]
+
+
 @_emit("iota")
 def _iota(b, eqn, ins):
     # normally constant-folded; emit directly for safety
@@ -596,12 +629,53 @@ def _maxpool(b, eqn, ins):
 
 @_emit("gather")
 def _gather(b, eqn, ins):
-    """Constant-index gathers whose index grid is a regular stride pattern
-    (strided spatial slicing: space_to_depth / Focus / `x[:, ::2, ::2]`)
-    lower to ONNX Slice with steps — the form every importer supports."""
+    """Two supported gather families:
+
+    1. Dynamic batched row-gathers (jnp.take_along_axis over a leading-batch
+       operand — the v10 decode's top-k row selection, postprocess.py:46-56)
+       lower to ONNX GatherND(batch_dims=b) (opset 12).
+    2. Constant-index gathers whose index grid is a regular stride pattern
+       (strided spatial slicing: space_to_depth / Focus / `x[:, ::2, ::2]`)
+       lower to ONNX Slice with steps — the form every importer supports."""
     p = eqn.params
     dn = p["dimension_numbers"]
     operand_shape = tuple(eqn.invars[0].aval.shape)
+    rank = len(operand_shape)
+    obd = tuple(getattr(dn, "operand_batching_dims", ()) or ())
+    sbd = tuple(getattr(dn, "start_indices_batching_dims", ()) or ())
+    nb = len(obd)
+    idx_rank = len(eqn.invars[1].aval.shape)
+    if (
+        nb
+        and obd == tuple(range(nb))
+        and sbd == obd
+        and tuple(dn.start_index_map) == (nb,)
+        and tuple(dn.collapsed_slice_dims) == (nb,)
+        and tuple(dn.offset_dims) == tuple(range(idx_rank - 1, idx_rank - 1 + rank - nb - 1))
+        and all(p["slice_sizes"][d] == 1 for d in range(nb + 1))
+        and all(p["slice_sizes"][d] == operand_shape[d] for d in range(nb + 1, rank))
+    ):
+        idx64 = b.add1("Cast", [ins[1]], to=_onnx_dtype(np.dtype(np.int64)))
+        return b.add1("GatherND", [ins[0], idx64], batch_dims=nb)
+    idx_shape = tuple(eqn.invars[1].aval.shape)
+    if (
+        not nb
+        and len(dn.start_index_map) == 1
+        and tuple(dn.collapsed_slice_dims) == tuple(dn.start_index_map)
+        and len(idx_shape) == 2
+        and idx_shape[-1] == 1
+        and tuple(dn.offset_dims) == tuple(i for i in range(rank) if i != dn.start_index_map[0])
+        and all(
+            p["slice_sizes"][i] == (1 if i == dn.start_index_map[0] else operand_shape[i])
+            for i in range(rank)
+        )
+    ):
+        # dynamic single-axis row gather (take_along_axis at batch 1 loses its
+        # batching dims): ONNX Gather(axis=d) with 1-D indices
+        d = int(dn.start_index_map[0])
+        idx64 = b.add1("Cast", [ins[1]], to=_onnx_dtype(np.dtype(np.int64)))
+        flat = b.add1("Reshape", [idx64, b.i64([idx_shape[0]])])
+        return b.add1("Gather", [ins[0], flat], axis=d)
     kind, idx = b._conv.read(eqn.invars[1])
     if kind != "const":
         raise NotImplementedError("ONNX export: gather with non-constant indices")

@@ -378,6 +378,48 @@ def _gather(eqn, ins, const_idx=None):
     p = eqn.params
     dn = p["dimension_numbers"]
     operand_shape = tuple(eqn.invars[0].aval.shape)
+    rank = len(operand_shape)
+    obd = tuple(getattr(dn, "operand_batching_dims", ()) or ())
+    sbd = tuple(getattr(dn, "start_indices_batching_dims", ()) or ())
+    nb = len(obd)
+    idx_rank = len(eqn.invars[1].aval.shape)
+    if (
+        nb
+        and obd == tuple(range(nb))
+        and sbd == obd
+        and tuple(dn.start_index_map) == (nb,)
+        and tuple(dn.collapsed_slice_dims) == (nb,)
+        and tuple(dn.offset_dims) == tuple(range(idx_rank - 1, idx_rank - 1 + rank - nb - 1))
+        and all(p["slice_sizes"][d] == 1 for d in range(nb + 1))
+        and all(p["slice_sizes"][d] == operand_shape[d] for d in range(nb + 1, rank))
+    ):
+        # dynamic batched row-gather (jnp.take_along_axis over leading batch
+        # dims — the v10 decode's top-k row selection): torch.gather with the
+        # index expanded over the trailing slice dims.
+        torch = _torch()
+        tgt = ins[1].squeeze(-1).to(torch.int64)  # (B..., k)
+        for _ in range(nb + 1, rank):
+            tgt = tgt.unsqueeze(-1)
+        tgt = tgt.expand(list(tgt.shape[: nb + 1]) + [operand_shape[d] for d in range(nb + 1, rank)])
+        return torch.gather(ins[0], nb, tgt)
+    idx_shape = tuple(eqn.invars[1].aval.shape)
+    if (
+        not nb
+        and len(dn.start_index_map) == 1
+        and tuple(dn.collapsed_slice_dims) == tuple(dn.start_index_map)
+        and len(idx_shape) == 2
+        and idx_shape[-1] == 1
+        and tuple(dn.offset_dims) == tuple(i for i in range(rank) if i != dn.start_index_map[0])
+        and all(
+            p["slice_sizes"][i] == (1 if i == dn.start_index_map[0] else operand_shape[i])
+            for i in range(rank)
+        )
+    ):
+        # dynamic single-axis row gather (take_along_axis at batch 1 loses its
+        # batching dims): torch.index_select with 1-D indices
+        torch = _torch()
+        d = int(dn.start_index_map[0])
+        return torch.index_select(ins[0], d, ins[1].reshape(-1).to(torch.int64))
     if const_idx is None:
         raise NotImplementedError("torchscript export: gather with non-constant indices")
     idx = np.asarray(const_idx)

@@ -99,9 +99,10 @@ class AutoBackend:
             self._fn = fn
             self.kind = "pb"
         elif suffix == ".onnx":
-            # OpenCV-DNN runtime (reference autobackend.py's cv2.dnn row). The
-            # artifact is the raw NCHW pred-head graph (see exporter.py), so
-            # the NMS-free top-k decode runs host-side here — exactly the
+            # OpenCV-DNN runtime (reference autobackend.py's cv2.dnn row).
+            # Round-4 artifacts carry the v10 decode in-graph (output
+            # (B, max_det, 6)); raw_head artifacts still emit the pred map,
+            # for which the NMS-free top-k decode runs host-side — the
             # reference's OpenCV-DNN client split (inference.cpp:30-41).
             import json
 
@@ -115,14 +116,16 @@ class AutoBackend:
             def fn(x):
                 self._net.setInput(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)), "images")
                 pred = self._net.forward()
+                if pred.shape[-1] == 6:  # decoded in-graph
+                    return pred
                 return np.asarray(v10_detections(jnp.asarray(pred), 300, self._nc))
 
             self._fn = fn
             self.kind = "onnx"
         elif suffix == ".torchscript":
             # LibTorch-format artifact (reference autobackend.py's torchscript
-            # row): raw NCHW pred-head module + host-side NMS-free decode,
-            # same client split as the ONNX row.
+            # row): decoded in-graph (round 4) or raw pred map + host-side
+            # decode, same client split as the ONNX row.
             import json
 
             import torch
@@ -140,6 +143,8 @@ class AutoBackend:
                 nchw = torch.from_numpy(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)).copy())
                 with torch.no_grad():
                     pred = self._mod(nchw).numpy()
+                if pred.shape[-1] == 6:  # decoded in-graph
+                    return pred
                 return np.asarray(v10_detections(jnp.asarray(pred), 300, self._nc))
 
             self._fn = fn

@@ -50,8 +50,11 @@ def v10_postprocess(preds: jnp.ndarray, max_det: int = 300, nc: int = 80) -> Tup
     flat = scores.reshape(scores.shape[0], -1)  # (B, k1*nc)
     k2 = min(max_det, flat.shape[-1])
     scores, index = jax.lax.top_k(flat, k2)  # (B, k2)
-    labels = index % nc
-    anchor = index // nc
+    # lax.rem/div (truncating) == %, // here since index, nc >= 0; jnp's
+    # floor-division correction emits int-bool ops (sign/ne/and) that ONNX
+    # importers (OpenCV-DNN 5.0) reject in elementwise layers.
+    labels = jax.lax.rem(index, jnp.int32(nc))
+    anchor = jax.lax.div(index, jnp.int32(nc))
     boxes = jnp.take_along_axis(boxes, anchor[..., None], axis=1)
     if k2 < max_det:  # pad to the fixed contract shape
         pad = max_det - k2

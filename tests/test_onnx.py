@@ -18,17 +18,64 @@ from lpc_yolo_tpu.engine.exporter import export_model
 cv2 = pytest.importorskip("cv2")
 
 
-def _export_and_compare(yolo, tmp_path, imgsz=64, tol=5e-4):
-    path = export_model(yolo, fmt="onnx", imgsz=imgsz, out_dir=tmp_path)
-    img = np.random.rand(1, 3, imgsz, imgsz).astype(np.float32)
-    ref = np.asarray(
-        yolo.model.apply(yolo.variables, jnp.asarray(img), training=False, input_layout="NCHW")["pred"]
+def _perturb(yolo, scale=0.02):
+    """Break the init-time score ties (bias-only cls logits are constant per
+    level; all-tied top-k order is runtime-defined, so label comparisons on an
+    unperturbed fresh model measure sort stability, not correctness)."""
+    import jax
+
+    rng = np.random.RandomState(0)
+    yolo.variables = jax.tree.map(
+        lambda x: x + (scale * rng.standard_normal(x.shape)).astype(x.dtype), yolo.variables
     )
+    return yolo
+
+
+def _canon(det):
+    """Row order canonical under top-k tie permutation: lexsort full rows
+    (primary key x1, then y1, ...). Logically-identical rows across runtimes
+    differ by <=1e-5 while distinct detections differ by whole pixels, so the
+    sorted sequences align row-for-row."""
+    key = det[0]
+    return det[:, np.lexsort(key.T[::-1]), :]
+
+
+def _export_and_compare(yolo, tmp_path, imgsz=64, tol=5e-4, raw_head=False):
+    """Export and check OpenCV-DNN parity. v10 models without raw_head emit
+    the decoded (B, max_det, 6) graph (reference head.py:515-523 semantics) —
+    the comparison then covers TopK/GatherND in the independent runtime."""
+    from lpc_yolo_tpu.ops.postprocess import v10_detections
+
+    _perturb(yolo)
+    path = export_model(yolo, fmt="onnx", imgsz=imgsz, out_dir=tmp_path, raw_head=raw_head)
+    img = np.random.rand(1, 3, imgsz, imgsz).astype(np.float32)
+    decoded = not raw_head and yolo.model.specs[-1].module == "v10Detect"
     net = cv2.dnn.readNetFromONNX(path)
     net.setInput(img, "images")
     out = net.forward()
-    assert out.shape == ref.shape
-    np.testing.assert_allclose(out, ref, atol=tol, rtol=1e-3)
+    if decoded:
+        # Random-weight class scores are near-tied, so runtime FP noise flips
+        # top-k rankings: validate the IN-GRAPH decode against the host decode
+        # of the SAME runtime's raw output (raw-head jax-parity is covered by
+        # the raw_head branch below).
+        raw_path = export_model(yolo, fmt="onnx", imgsz=imgsz,
+                                out_dir=tmp_path / "raw", raw_head=True)
+        raw_net = cv2.dnn.readNetFromONNX(raw_path)
+        raw_net.setInput(img, "images")
+        pred_cv = raw_net.forward()
+        ref = np.asarray(v10_detections(jnp.asarray(pred_cv), 300, yolo.model.nc))
+        assert out.shape == ref.shape
+        assert (np.sort(out[0, :, 5]) == np.sort(ref[0, :, 5])).all()
+        # bitwise-equal scores at different anchors are genuine top-k TIES
+        # whose relative order is runtime-defined — compare the detection SET:
+        # canonicalize both row orders by full-row lexsort, then allclose
+        np.testing.assert_allclose(_canon(out), _canon(ref), atol=1e-5, rtol=1e-5)
+    else:
+        ref = np.asarray(
+            yolo.model.apply(yolo.variables, jnp.asarray(img), training=False, input_layout="NCHW")["pred"]
+        )
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=tol, rtol=1e-3)
     return path
 
 
@@ -46,9 +93,18 @@ def test_onnx_v8_cv2_parity(v8_onnx):
     assert sidecar["nc"] == 3
 
 
-def test_onnx_v10_cv2_parity(tmp_path):
-    """v10n stresses PSA attention (MatMul/Softmax/Transpose), SCDown, CIB."""
-    _export_and_compare(YOLO("yolov10n.yaml", nc=3), tmp_path)
+def test_onnx_v10_cv2_parity_decoded(tmp_path):
+    """v10n stresses PSA attention (MatMul/Softmax/Transpose), SCDown, CIB,
+    plus the round-4 in-graph decode (TopK + GatherND through OpenCV-DNN)."""
+    yolo = YOLO("yolov10n.yaml", nc=3)
+    path = _export_and_compare(yolo, tmp_path)
+    sidecar = json.loads(open(path + ".json").read())
+    assert sidecar["output"].startswith("det (B, 300, 6)")
+
+
+def test_onnx_v10_raw_head_optout(tmp_path):
+    """raw_head=True restores the raw pred-map artifact for v10."""
+    _export_and_compare(YOLO("yolov10n.yaml", nc=3), tmp_path, raw_head=True)
 
 
 def test_onnx_lpc_cv2_parity(tmp_path):
