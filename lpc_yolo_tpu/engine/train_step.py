@@ -139,10 +139,22 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, batch, step=0):
         img = batch["img"]
+        pre_packed = train_pack and img.ndim == 4 and img.shape[-1] == 24
         if img.dtype == jnp.uint8:
             # uint8 BGR from the loader: normalize + BGR->RGB on device, matching
             # the reference's Format transform (augment.py:876) + /255 preprocess.
-            img = img.astype(jnp.float32)[..., ::-1] / 255.0
+            if pre_packed:
+                # (B, H, W/8, 8*3) feed — same bytes as NHWC (free host
+                # reshape); the BGR->RGB flip happens within each 3-channel
+                # group. Feeding the packed shape lets XLA lay the entry
+                # parameter out for the packed stem conv directly instead of
+                # relayouting a (B,640,640,3) buffer post-normalize
+                # (xplane: a 0.94 ms/step copy at v10n b32).
+                b_, h_, wp_, cp_ = img.shape
+                img = img.reshape(b_, h_, wp_, 8, 3)[..., ::-1].reshape(b_, h_, wp_, cp_)
+                img = img.astype(jnp.float32) / 255.0
+            else:
+                img = img.astype(jnp.float32)[..., ::-1] / 255.0
         dn = None
         if loss_kind == "rtdetr":
             # contrastive denoising queries (models/utils/ops.py:153)
@@ -158,7 +170,7 @@ def make_train_step(
                 "mask": batch["mask"],
                 "key": jax.random.fold_in(jax.random.PRNGKey(42), step),
             }
-        if train_pack:
+        if train_pack and not pre_packed:
             # feed the width-packed layout (B, H, W/8, 8*3): the low-channel
             # stem stages then run on dense 128-lane tiles (see
             # compiler._run wpack_on). The reshape fuses into the normalize.

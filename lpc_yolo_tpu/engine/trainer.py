@@ -291,8 +291,11 @@ class Trainer:
             t0 = time.time()
             mean_items = np.zeros(6)
             n_skipped = 0
+            input_wait_s = 0.0  # host-pipeline starvation visibility
             for _ in range(steps_per_epoch):
+                tw = time.perf_counter()
                 batch = next(data_iter)
+                input_wait_s += time.perf_counter() - tw
                 keys = ["img", "cls", "bboxes", "mask"]
                 keys += [k for k in ("masks", "keypoints", "rboxes") if k in batch]
                 device_batch = shard_batch({k: batch[k] for k in keys}, mesh)
@@ -341,6 +344,12 @@ class Trainer:
                 **{k: round(float(v), 5) for k, v in results.items()},
                 "lr": float(metrics["lr"]),
                 "time_s": round(time.time() - t0, 1),
+                # fraction of the epoch spent blocked on the host augmentation
+                # pipeline (time in next(loader) / wall): > ~0.3 means the chip
+                # is input-starved — raise workers, cache='ram', or pre-augment
+                # (the step itself syncs per iteration via the metrics fetch,
+                # so loader wait is real starvation, not pipelined slack)
+                "input_wait_frac": round(input_wait_s / max(time.time() - t0, 1e-9), 4),
             }
             write_header = not csv_path.exists()
             with open(csv_path, "a", newline="") as f:

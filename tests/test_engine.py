@@ -89,6 +89,11 @@ def test_train_val_predict_resume(ds, tmp_path):
     assert (run / "weights" / "best.ckpt").exists()
     csv_text = (run / "results.csv").read_text()
     assert csv_text.count("\n") >= 3  # header + 2 epochs
+    # host-pipeline starvation visibility: every epoch row records the
+    # fraction of wall time spent blocked on next(loader)
+    assert "input_wait_frac" in csv_text.splitlines()[0]
+    wait = float(csv_text.splitlines()[1].split(",")[-1])
+    assert 0.0 <= wait <= 1.0
 
     # resume continues from epoch 2
     res2 = m.train(

@@ -67,19 +67,21 @@ def main():
 
     import glob
 
-    from xplane_stats import op_times
+    from collections import defaultdict
+
+    from xplane_stats import op_category, op_times, pick_op_line
 
     files = sorted(glob.glob(os.path.join(TRACE_DIR, "**", "*.xplane.pb"), recursive=True))
     times = op_times(files[-1])
-    from collections import defaultdict
-
-    lines = defaultdict(int)
-    for (ln, _), (ps, _) in times.items():
-        lines[ln] += ps
-    busiest = max(lines, key=lines.get)
-    rows = [(ps, n, name) for (ln, name), (ps, n) in times.items() if ln == busiest]
+    line, _ = pick_op_line(times)
+    rows = [(ps, n, name) for (ln, name), (ps, n) in times.items() if ln == line]
     total = sum(r[0] for r in rows)
     print(f"steps traced: 4; device total {total / 1e9:.2f} ms ({total / 4e9:.2f} ms/step)")
+    cats = defaultdict(int)
+    for ps, _, name in rows:
+        cats[op_category(name)] += ps
+    for k in sorted(cats, key=cats.get, reverse=True):
+        print(f"  {k:40s} {cats[k] / 4e9:8.3f} ms/step {100.0 * cats[k] / total:5.1f}%")
     for ps, n, name in sorted(rows, reverse=True)[:40]:
         print(f"{ps / 1e9:9.3f} ms {100.0 * ps / total:5.1f}%  x{n:<4d} {name[:110]}")
 

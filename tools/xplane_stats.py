@@ -60,6 +60,40 @@ def op_times(path: str, plane_name: str = "/device:TPU:0"):
     return out
 
 
+def pick_op_line(times):
+    """The serially-executed op line. 'Async XLA Ops' holds in-flight DMA
+    durations that OVERLAP compute — summing them triple-counts the step
+    (an early version of this tool picked it as 'busiest' and misattributed
+    a 47 ms train step as 275 ms of copies). Prefer 'XLA Ops' explicitly."""
+    lines = defaultdict(int)
+    for (ln, _), (ps, _) in times.items():
+        lines[ln] += ps
+    if "XLA Ops" in lines:
+        return "XLA Ops", lines
+    sync = {ln: t for ln, t in lines.items() if "async" not in ln.lower()}
+    return max(sync or lines, key=(sync or lines).get), lines
+
+
+def op_category(name):
+    """Coarse family for a device op, for step-budget attribution."""
+    import re
+
+    if name.startswith("%copy-start") or name.startswith("%copy-done"):
+        return "async-dma"
+    if name.startswith("%copy"):
+        return "layout-copy"
+    if "convolution" in name or name.startswith("%convolution"):
+        return "conv"
+    m = re.search(r"= \(?(?:f32|bf16)\[\d{1,3}\]", name)
+    if m and "fusion" in name:
+        return "small-vec reduces (BN stats/grads)"
+    if "all-reduce" in name:
+        return "all-reduce"
+    if "fusion" in name:
+        return "fusion"
+    return "other"
+
+
 def main():
     arg = sys.argv[1]
     top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -67,16 +101,18 @@ def main():
         files = glob.glob(os.path.join(arg, "**", "*.xplane.pb"), recursive=True)
         arg = sorted(files)[-1]
     times = op_times(arg)
-    # keep the busiest line (the XLA op line); module/step lines double-count
-    lines = defaultdict(int)
-    for (ln, _), (ps, _) in times.items():
-        lines[ln] += ps
+    line, lines = pick_op_line(times)
     for ln in sorted(lines, key=lines.get, reverse=True):
         print(f"== line '{ln}': total {lines[ln] / 1e9:.3f} ms")
-    busiest = max(lines, key=lines.get)
-    rows = [(ps, n, name) for (ln, name), (ps, n) in times.items() if ln == busiest]
+    rows = [(ps, n, name) for (ln, name), (ps, n) in times.items() if ln == line]
     total = sum(r[0] for r in rows)
-    print(f"\ntop {top_n} ops on '{busiest}' ({total / 1e9:.2f} ms total):")
+    cats = defaultdict(int)
+    for ps, _, name in rows:
+        cats[op_category(name)] += ps
+    print(f"\ncategories on '{line}' ({total / 1e9:.2f} ms total):")
+    for k in sorted(cats, key=cats.get, reverse=True):
+        print(f"  {k:40s} {cats[k] / 1e9:8.2f} ms {100.0 * cats[k] / total:5.1f}%")
+    print(f"\ntop {top_n} ops:")
     for ps, n, name in sorted(rows, reverse=True)[:top_n]:
         print(f"{ps / 1e9:9.3f} ms {100.0 * ps / total:5.1f}%  x{n:<4d} {name[:110]}")
 
