@@ -161,15 +161,21 @@ def bench_raw_frame(batch=32, imgsz=640, iters=16, frame_hw=(720, 1280)):
     }
 
 
-def bench_train_step(batch=32, imgsz=640, steps=24):
+def bench_train_step(scale="n", batch=32, imgsz=640, steps=24):
     """Training throughput: full train step (fwd+bwd+clip+update+EMA) on the
-    bf16 compute path the Trainer uses on TPU."""
+    bf16 compute path the Trainer uses on TPU. Reports train-MFU from XLA's
+    own cost analysis of the compiled step (fwd+bwd+loss+optimizer FLOPs, not
+    a 3x-forward estimate)."""
     from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
     from lpc_yolo_tpu.nn import build_model
 
+    cfg_path = (
+        "lpc_yolo_tpu/cfg/models/v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml"
+        if scale == "lpc"
+        else f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"
+    )
     model = build_model(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "lpc_yolo_tpu/cfg/models/v10/yolov10n.yaml"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), cfg_path),
         dtype=jnp.bfloat16,
         train_pack=jax.default_backend() == "tpu",  # same auto as the Trainer
     )
@@ -210,7 +216,71 @@ def bench_train_step(batch=32, imgsz=640, steps=24):
         float(run(state, batch_d))
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    return {"img_s": round(batch * steps / dt, 1), "ms_per_step": round(dt / steps * 1000.0, 2)}
+    try:
+        # analyze ONE step, not the scan harness: XLA's cost analysis counts
+        # a scan body once regardless of trip count (dividing the harness
+        # figure by `steps` under-reported train FLOPs ~steps-fold)
+        cost = jax.jit(step).lower(state, batch_d).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        gflops_step = float(cost.get("flops", 0.0)) / 1e9
+    except Exception:
+        gflops_step = 0.0
+    ms = dt / steps * 1000.0
+    tflops = gflops_step / ms if gflops_step else 0.0
+    return {
+        "img_s": round(batch * steps / dt, 1),
+        "ms_per_step": round(ms, 2),
+        "gflops_per_step": round(gflops_step, 1),
+        "achieved_tflops": round(tflops, 1),
+        "train_mfu_pct": round(100.0 * tflops / PEAK_BF16_TFLOPS, 1) if tflops else 0.0,
+    }
+
+
+def bench_data_pipeline(imgsz=640, batch=32, n_batches=6, train_img_s=None):
+    """Host augmentation throughput: the REAL train input pipeline (decode +
+    mosaic4 + affine + HSV + flips via TrainTransforms) driven exactly as the
+    Trainer drives it (DataLoader worker threads), measured in img/s on this
+    host. Reports chip-feed balance: how many of these hosts one chip's
+    measured train step consumes (reference data/build.py:106 uses 8 worker
+    processes per GPU for the same reason)."""
+    import shutil
+    import tempfile
+
+    from lpc_yolo_tpu.data.augment import TrainTransforms
+    from lpc_yolo_tpu.data.build import DataLoader
+    from lpc_yolo_tpu.data.dataset import YOLODataset, check_det_dataset
+    from lpc_yolo_tpu.data.synthetic import make_synthetic_dataset
+
+    root = tempfile.mkdtemp(prefix="bench_dp_")
+    try:
+        yaml_path = make_synthetic_dataset(root, n_train=64, n_val=2, imgsz=imgsz, nc=3)
+        info = check_det_dataset(yaml_path)
+        dataset = YOLODataset(info["train"], imgsz=imgsz, augment=True, names=info["names"],
+                              cache_images="ram")
+        hyp = {"mosaic": 1.0, "fliplr": 0.5, "hsv_h": 0.015, "hsv_s": 0.7, "hsv_v": 0.4,
+               "degrees": 0.0, "translate": 0.1, "scale": 0.5, "shear": 0.0,
+               "perspective": 0.0, "flipud": 0.0, "mixup": 0.0, "copy_paste": 0.0}
+        transforms = TrainTransforms(imgsz, hyp, 32)
+        loader = DataLoader(dataset, transforms, batch_size=batch, shuffle=True,
+                            workers=os.cpu_count() or 1, infinite=True)
+        it = iter(loader)
+        next(it)  # warm the image cache + thread pool
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            next(it)
+        dt = time.perf_counter() - t0
+        host_img_s = batch * n_batches / dt
+        row = {
+            "host_img_s": round(host_img_s, 1),
+            "cores": os.cpu_count(),
+            "note": "synthetic JPEGs, RAM-cached decode; mosaic4+affine+HSV+flip path",
+        }
+        if train_img_s:
+            row["hosts_per_chip_at_train_rate"] = round(train_img_s / host_img_s, 2)
+        return row
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def main():
@@ -225,7 +295,18 @@ def main():
     extras["lpc_tiny_b32"] = bench_scale("lpc", batch=batch)
     raw = bench_raw_frame(batch=batch)
     extras["raw_frame_720p_v10n"] = {**raw, "vs_baseline": round(raw["img_s"] / BASELINES["n"], 3)}
-    extras["train_step_v10n_b32_bf16"] = bench_train_step(batch=batch)
+    # training table: full step (fwd+bwd+clip+update+EMA), every scale the
+    # serving table names + the fork's LPC model; n additionally at b64 (the
+    # n-scale is latency-bound at b32 — the b64 row shows the ceiling)
+    for ts in ("n", "s", "m", "lpc"):
+        extras[f"train_step_v10{ts}_b32_bf16" if ts != "lpc" else "train_step_lpc_b32_bf16"] = (
+            bench_train_step(scale=ts, batch=batch)
+        )
+    extras["train_step_v10n_b64_bf16"] = bench_train_step(scale="n", batch=64, steps=12)
+    # host augmentation pipeline vs the chip's consumption rate
+    extras["data_pipeline_host"] = bench_data_pipeline(
+        batch=batch, train_img_s=extras["train_step_v10n_b32_bf16"]["img_s"]
+    )
     # ONE JSON line: headline = v10n; the s/m scales and the raw-frame
     # letterbox-included config ride along as nested extras
     print(

@@ -14,7 +14,25 @@ import sys
 import pytest
 
 
+def test_ensure_virtual_devices_noop_when_initialized():
+    """The round-1 regression in miniature: under pytest the backend is
+    already provisioned (conftest), and _ensure_virtual_devices must detect
+    that and leave it alone instead of racing jax.config after init."""
+    import jax
+
+    import __graft_entry__
+
+    n_before = len(jax.devices())
+    __graft_entry__._ensure_virtual_devices(8)
+    assert len(jax.devices()) == n_before == 8
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
+    """The full driver entry (real v10n train step over the 8-device mesh).
+    ~2 min of XLA:CPU compile — slow-gated; the driver itself runs this
+    every round (MULTICHIP_rN.json), so default suite runs keep only the
+    cheap _ensure_virtual_devices guard above."""
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)

@@ -51,35 +51,16 @@ def test_train_pack_exact_f64():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
-def test_train_pack_step_runs(tmp_path):
-    """A packed train step runs end-to-end (CPU: exercises the graph shape
-    handling on the tiny config — all of whose stages are in the <128-lane
-    pack regime; the TPU perf win is benched by tools/bench_train.py)."""
-    from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
-
-    model = build_model("tests/assets/tiny-v10.yaml", nc=3,
-                        dtype=jnp.float32, train_pack=True)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
-    cfg = OptConfig(total_steps=10, warmup_steps=2)
-    state, tx = init_train_state(model, variables, cfg)
-    step = make_train_step(model, tx, cfg)
-    rng = np.random.RandomState(0)
-    batch = {
-        "img": jnp.asarray((rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)),
-        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.int32)),
-        "bboxes": jnp.asarray((rng.rand(2, 4, 4) * 20 + 5).astype(np.float32)),
-        "mask": jnp.asarray(np.ones((2, 4), bool)),
-    }
-    batch["bboxes"] = batch["bboxes"].at[..., 2:].add(batch["bboxes"][..., :2])
-    state, metrics = step(state, batch)
-    assert np.isfinite(float(metrics["loss"]))
-
-
 def test_train_pack_mesh_sharded_step():
     """train_pack composes with mesh data-parallelism: on a multi-chip TPU
     host the Trainer enables BOTH (clone(train_pack=True) + shard_batch), so
     the packed training graph must compile and run under an 8-device mesh
-    (the WPACK reshape is per-sample and the batch axis shards cleanly)."""
+    (the WPACK reshape is per-sample and the batch axis shards cleanly).
+
+    This is also the packed-step-runs smoke test: a previous single-device
+    twin compiled a near-identical 90 s XLA:CPU program for strictly less
+    coverage (the mesh program exercises the same uint8 path, loss, donation,
+    and optimizer chain, plus the SPMD partitioner), so the two were merged."""
     from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
     from lpc_yolo_tpu.parallel.mesh import data_parallel_mesh, replicate, shard_batch
 
