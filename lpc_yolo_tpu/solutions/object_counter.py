@@ -41,6 +41,17 @@ class ObjectCounter:
         self._last_side: Dict[int, bool] = {}
         self.counted_ids: set = set()
 
+    def set_region(self, region: Sequence[Tuple[float, float]]) -> "ObjectCounter":
+        """Move/replace the counting geometry mid-stream — the headless
+        equivalent of the reference's mouse-drag region editing
+        (object_counter.py:128-160). Accumulated counts are kept; per-track
+        side memory is reset so the move itself never registers a crossing
+        (each track re-establishes its side on the next frame)."""
+        self.region = np.asarray(region, np.float32)
+        self.is_line = len(self.region) == 2
+        self._last_side.clear()
+        return self
+
     def _side(self, pt: Tuple[float, float]) -> bool:
         if self.is_line:
             (x1, y1), (x2, y2) = self.region

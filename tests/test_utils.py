@@ -37,6 +37,58 @@ def test_heatmap_accumulates():
     assert hm.render().shape == (240, 320, 3)
 
 
+def test_object_counter_region_move():
+    """set_region (headless twin of the reference's mouse-drag editing,
+    object_counter.py:128-160): counts survive the move, the move itself
+    never registers a crossing, and crossings after the move are judged
+    against the NEW geometry."""
+    counter = ObjectCounter(region=[(160, 0), (160, 240)], names={0: "car"})
+    for t in range(8):  # crosses x=160 -> 1 count
+        counter.update(_tracked_frame(t))
+    assert counter.in_count + counter.out_count == 1
+    counter.set_region([(1000, 0), (1000, 240)])  # move far right of the track
+    assert counter.in_count + counter.out_count == 1  # move kept the tally
+    for t in range(8, 12):  # keeps moving right but never reaches x=1000
+        counter.update(_tracked_frame(t))
+    assert counter.in_count + counter.out_count == 1  # no spurious crossing
+
+
+def test_heatmap_shapes():
+    """Reference set_args shape semantics (heatmap.py:92-156): 'rect' heats
+    the whole box, 'circle' only the inscribed circle — so the box corners
+    stay cold under circle and hot under rect."""
+    rect = Heatmap((240, 320), heat_shape="rect")
+    circ = Heatmap((240, 320), heat_shape="circle")
+    frame = _tracked_frame(0)  # box (40,100)-(90,150)
+    rect.update(frame)
+    circ.update(frame)
+    assert rect.acc[101, 41] > 0 and rect.acc[124, 64] > 0  # corner + center
+    assert circ.acc[101, 41] == 0 and circ.acc[124, 64] > 0  # corner cold
+    assert Heatmap((240, 320), heat_shape="bogus").heat_shape == "circle"
+
+
+def test_heatmap_region_counts():
+    """In/out counting against a 4-point region (heatmap.py:210-218): a track
+    entering the region counts once; attribution by box-x1 vs centroid-x."""
+    hm = Heatmap((240, 320), count_reg_pts=[(150, 80), (260, 80), (260, 170), (150, 170)])
+    for t in range(8):  # moves right into the region
+        hm.update(_tracked_frame(t))
+    assert hm.in_counts + hm.out_counts == 1
+    for t in range(8, 10):  # still inside — counted_ids dedups
+        hm.update(_tracked_frame(t))
+    assert hm.in_counts + hm.out_counts == 1
+    out = hm.render(np.zeros((240, 320, 3), np.uint8))
+    assert out.shape == (240, 320, 3)
+
+
+def test_heatmap_line_counts():
+    """2-point line counter with line_dist_thresh (heatmap.py:219-224)."""
+    hm = Heatmap((240, 320), count_reg_pts=[(160, 0), (160, 240)])
+    for t in range(8):
+        hm.update(_tracked_frame(t))
+    assert hm.in_counts + hm.out_counts == 1
+
+
 def test_speed_estimator():
     se = SpeedEstimator(fps=30, pixels_per_meter=10)
     speeds = {}
