@@ -1,0 +1,40 @@
+"""Doctest the documentation quickstart: every ```python block in
+docs/quickstart.md must execute as written (reference analog: mkdocs
+snippets are CI-executed via docs tests)."""
+import re
+from pathlib import Path
+
+DOCS = Path(__file__).resolve().parents[1] / "docs"
+
+
+def _python_blocks(md: str):
+    return re.findall(r"```python\n(.*?)```", md, re.S)
+
+
+def test_quickstart_python_blocks_run(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)  # artifacts (runs/) land in tmp
+    md = (DOCS / "quickstart.md").read_text()
+    blocks = _python_blocks(md)
+    assert len(blocks) >= 3
+    ns = {}
+    for block in blocks:
+        exec(compile(block, "<quickstart.md>", "exec"), ns)
+
+
+def test_docs_pages_exist_and_crosslink():
+    pages = [
+        "index.md", "quickstart.md", "cli.md", "models.md", "datasets.md",
+        "tpu-design.md", "export-matrix.md", "solutions.md", "MIGRATING.md",
+        "modes/train.md", "modes/val.md", "modes/predict.md",
+        "modes/export.md", "modes/track.md", "modes/benchmark.md",
+        "tasks/detect.md", "tasks/segment.md", "tasks/pose.md",
+        "tasks/obb.md", "tasks/classify.md",
+    ]
+    for p in pages:
+        f = DOCS / p
+        assert f.is_file(), f"missing docs page {p}"
+        assert len(f.read_text()) > 300, f"docs page {p} is a stub"
+    # every relative .md link in index resolves
+    idx = (DOCS / "index.md").read_text()
+    for link in re.findall(r"\]\(([\w/.-]+\.md)\)", idx):
+        assert (DOCS / link).is_file(), f"index.md links to missing {link}"
