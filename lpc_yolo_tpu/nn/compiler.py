@@ -347,7 +347,8 @@ def _s2d_fuse_plan(specs, save) -> Dict[int, int]:
 
 
 def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False,
-               dense_only: bool = False) -> Optional[Tuple[int, int]]:
+               dense_only: bool = False,
+               deploy_graph: bool = False) -> Optional[Tuple[int, int]]:
     """Pack plan for a layer given the arriving pack factor.
 
     Returns (p_in_used, p_out), or None to run unpacked. Repacking between
@@ -428,15 +429,27 @@ def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False,
         return (p_out if p_in > 1 else 1, p_out)
     # C2f: the pack applies to cv1's output y (c2 channels) and the
     # bottleneck interiors (c2/2); target >= 128 lanes on y, i.e. >= 64 on
-    # the interiors (c2=96 -> P2, 64 -> P2, 32 -> P4). At c2 >= 128 y is
+    # the interiors (c2=96 -> P2, 64 -> P2, 32 -> P4). At c2 > 128 y is
     # already lane-dense and the interior bloat is a wash — run unpacked.
-    if len(spec.args) > 2 and spec.args[2] > 2:
-        return None  # must match the deploy-C2f gate in _build_module
-    if spec.c2 >= 128:
+    #
+    # c2 == 128 (deploy serving graph only): y is dense but the hidden-c=64
+    # bottleneck interiors tile at 45% fill (3x3 64->64: K=576->640, N=64
+    # ->128). Packing P=2 lands the interiors EXACTLY dense (128 lanes) at
+    # a 4/3 kernel-expansion cost — lane_fill.py puts these sites at 8% of
+    # v10l's FLOPs, and the packed-plain rewrite is linear in n, so the
+    # n<=2 gate (an O(n^2) plain-rewrite artifact) doesn't apply. Kept off
+    # the train_pack plan: the training packed C2f is profiled only in the
+    # c2<128 regime.
+    n_blocks = spec.args[2] if len(spec.args) > 2 else 1
+    if spec.c2 == 128 and deploy_graph:
+        p_out = 2
+    elif spec.c2 >= 128 or n_blocks > 2:
+        # n<=2 must match the deploy-C2f gate in _build_module
         return None
-    p_out = 1
-    while p_out * spec.c2 < 128:
-        p_out *= 2
+    else:
+        p_out = 1
+        while p_out * spec.c2 < 128:
+            p_out *= 2
     if p_out <= 1 or (dense_only and p_out * spec.c2 != 128):
         return None
     if fold_s2d:
@@ -536,7 +549,9 @@ def _build_module(spec: LayerSpec, dtype, name: str, deploy: bool = False,
         # slice/concat copies dominate. Measured v10m b32: 706 img/s applied
         # everywhere, 792 gated at (C<=64 or n<=2), 824 plain; v10n b32
         # (all C2f at C<=128, n<=2): +21% from the rewrite.
-        dep = deploy and a[1] <= 128 and a[2] <= 2
+        # n <= 2 gates only the O(n^2) plain rewrite; the packed-plain form
+        # (pack_out > 1, _deploy_call_packed) is linear in n
+        dep = deploy and a[1] <= 128 and (a[2] <= 2 or pack_out > 1)
         return M.C2f(
             a[1], n=a[2], shortcut=a[3] if len(a) > 3 else False,
             deploy=dep, pack=pack_out, pack_in=pack_in if pack_out > 1 else 1,
@@ -758,7 +773,12 @@ class DetectionModel(nn.Module):
             single_prev = len(spec.f) == 1 and spec.f[0] == -1
             p_in = cur_pack if single_prev else 1
             fold = spec.i in s2d_plan
-            plan = _wpack_out(spec, p_in, fold_s2d=fold, dense_only=dense_only) if wpack_on else None
+            plan = (
+                _wpack_out(spec, p_in, fold_s2d=fold, dense_only=dense_only,
+                           deploy_graph=self.deploy and not training)
+                if wpack_on
+                else None
+            )
             if plan is None:
                 p_out = 0
                 if cur_pack > 1 and -1 in spec.f:

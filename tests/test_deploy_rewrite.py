@@ -375,3 +375,35 @@ def test_deploy_wpack_large_batch_plan_parity():
         training=False, input_layout="WPACK",
     )["pred"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_deploy_c2f128_interior_packed_parity():
+    """c2=128 C2f blocks (hidden c=64, any n) run packed-plain on the deploy
+    serving graph: interiors land exactly dense on 128 lanes (45% -> 100%
+    tile fill on 3x3 64->64 — tools/lane_fill.py puts these at ~8% of
+    v10l's FLOPs). The rewrite must stay exact, including n=3 (the v10l/b
+    P2-stage shape, beyond the O(n^2) plain rewrite's n<=2 gate)."""
+    cfg = {
+        "nc": 8,
+        "backbone": [
+            [-1, 1, "Conv", [64, 3, 2]],
+            [-1, 1, "Conv", [128, 3, 2]],
+            [-1, 3, "C2f", [128, True]],   # the new packed-plain site
+            [-1, 1, "Conv", [256, 3, 2]],
+            [-1, 2, "C2f", [256, True]],   # dense already: stays plain
+            [-1, 1, "Conv", [512, 3, 2]],
+        ],
+        "head": [[[2, 4, 5], 1, "v10Detect", ["nc"]]],
+    }
+    plain = build_model(cfg)
+    dep = build_model(cfg, deploy=True)
+    variables = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    v2 = dep.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), training=True)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(v2)
+    x = np.random.RandomState(17).rand(2, 64, 64, 3).astype(np.float32)
+    a = plain.apply(variables, jnp.asarray(x), training=False)["pred"]
+    b = dep.apply(
+        variables, jnp.asarray(x.reshape(2, 64, 8, 24)),
+        training=False, input_layout="WPACK",
+    )["pred"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
