@@ -136,11 +136,11 @@ def bench_scale(scale, batch=32, imgsz=640, iters=48):
     }
 
 
-def bench_raw_frame(batch=32, imgsz=640, iters=16, frame_hw=(720, 1280)):
+def bench_raw_frame(scale="n", batch=32, imgsz=640, iters=16, frame_hw=(720, 1280)):
     """Raw camera frame -> detections: on-device Pallas letterbox included."""
     from lpc_yolo_tpu.ops.pallas_preprocess import letterbox_batch_device
 
-    model, variables = _build("n")
+    model, variables = _build(scale)
     h0, w0 = frame_hw
 
     def forward(variables, frames_u8):
@@ -303,8 +303,13 @@ def main():
     # the fork's namesake model (SPD/SPCA/LPC/CBAM blocks; space_to_depth
     # stage boundaries fold into conv kernels on the serving graph)
     extras["lpc_tiny_b32"] = bench_scale("lpc", batch=batch)
-    raw = bench_raw_frame(batch=batch)
-    extras["raw_frame_720p_v10n"] = {**raw, "vs_baseline": round(raw["img_s"] / BASELINES["n"], 3)}
+    # raw-720p-frame e2e per named scale (BASELINE "p50 end-to-end latency
+    # tracked per config"): on-device Pallas letterbox included in the graph
+    for rs in ("n", "s", "m"):
+        raw = bench_raw_frame(scale=rs, batch=batch)
+        extras[f"raw_frame_720p_v10{rs}"] = {
+            **raw, "vs_baseline": round(raw["img_s"] / BASELINES[rs], 3)
+        }
     # training table: full step (fwd+bwd+clip+update+EMA), every scale the
     # serving table names + the fork's LPC model; n additionally at b64 (the
     # n-scale is latency-bound at b32 — the b64 row shows the ceiling)
