@@ -189,8 +189,13 @@ def bench_train_step(scale="n", batch=32, imgsz=640, steps=24):
     rng = np.random.RandomState(0)
     wh = rng.rand(batch, M, 2) * 200 + 8
     xy = rng.rand(batch, M, 2) * (imgsz - 260) + 10
+    # width-packed (B, H, W/8, 24) uint8 feed, as the Trainer ships it (free
+    # host reshape; saves a 0.94 ms/step entry-parameter relayout)
+    img_u8 = (rng.rand(batch, imgsz, imgsz, 3) * 255).astype(np.uint8)
+    if getattr(model, "train_pack", False):
+        img_u8 = img_u8.reshape(batch, imgsz, imgsz // 8, 24)
     batch_d = {
-        "img": jnp.asarray((rng.rand(batch, imgsz, imgsz, 3) * 255).astype(np.uint8)),
+        "img": jnp.asarray(img_u8),
         "cls": jnp.asarray(rng.randint(0, 80, (batch, M)).astype(np.int32)),
         "bboxes": jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
         "mask": jnp.asarray(np.ones((batch, M), bool)),

@@ -187,15 +187,19 @@ def make_train_step(
         # mixed-precision (amp): models built with dtype=bfloat16 run the
         # backbone/neck/head matmuls in bf16 (params stay f32 — linen's
         # param dtype is separate from compute dtype); the loss math needs
-        # f32 (BCE/IoU/assigner stability), so upcast head outputs here.
-        # No-op for f32 builds — the reference's autocast boundary
-        # (trainer.py:379-381) sits at the same place.
-        out = jax.tree.map(
-            lambda t: t.astype(jnp.float32)
-            if hasattr(t, "dtype") and t.dtype == jnp.bfloat16
-            else t,
-            out,
-        )
+        # f32 (BCE/IoU/assigner stability). The detect-family losses cast
+        # at their use sites (identical numerics — the values are already
+        # bf16-quantized — but the cast fuses into each consumer instead of
+        # materializing a full f32 copy of every head map: xplane showed
+        # two standalone (B,8400,144) converts, ~0.9 ms/step at v10n b32).
+        # rtdetr's loss consumes raw logits, so it keeps the tree upcast.
+        if loss_kind == "rtdetr":
+            out = jax.tree.map(
+                lambda t: t.astype(jnp.float32)
+                if hasattr(t, "dtype") and t.dtype == jnp.bfloat16
+                else t,
+                out,
+            )
         if loss_kind == "v10":
             total, items = v10_detect_loss(
                 out, batch["cls"], batch["bboxes"], batch["mask"], model.strides, model.nc

@@ -66,13 +66,28 @@ def v8_detection_loss(
 ):
     """One head-branch detection loss (loss.py:186-249). Returns
     (total_loss * batch_size, detached per-term items)."""
-    B = feats[0].shape[0]
-    feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
-    no = 4 * reg_max + nc
-    flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)  # (B, A, no)
-    pred_distri = flat[..., : 4 * reg_max].astype(jnp.float32)
-    pred_scores = flat[..., 4 * reg_max :].astype(jnp.float32)
-    A = flat.shape[1]
+    if isinstance(feats[0], (tuple, list)):
+        # per-level (box_map, cls_map) pairs (V10Detect split=True): the head
+        # never concatenates the 64++nc channels, so the loss flattens each
+        # branch directly. Box maps may arrive width-packed (B, H, W/P, P*64)
+        # — pack_width is a row-major reshape, so .reshape(B, -1, 64) yields
+        # the identical anchor order as the unpacked map.
+        B = feats[0][1].shape[0]
+        feat_shapes = [(cm.shape[1], cm.shape[2]) for _, cm in feats]
+        pred_distri = jnp.concatenate(
+            [bm.reshape(B, -1, 4 * reg_max) for bm, _ in feats], axis=1
+        ).astype(jnp.float32)
+        pred_scores = jnp.concatenate(
+            [cm.reshape(B, -1, nc) for _, cm in feats], axis=1
+        ).astype(jnp.float32)
+    else:
+        B = feats[0].shape[0]
+        feat_shapes = [(f.shape[1], f.shape[2]) for f in feats]
+        no = 4 * reg_max + nc
+        flat = jnp.concatenate([f.reshape(B, -1, no) for f in feats], axis=1)  # (B, A, no)
+        pred_distri = flat[..., : 4 * reg_max].astype(jnp.float32)
+        pred_scores = flat[..., 4 * reg_max :].astype(jnp.float32)
+    A = pred_scores.shape[1]
 
     anchor_points, stride_tensor = make_anchors(feat_shapes, strides, 0.5)
 

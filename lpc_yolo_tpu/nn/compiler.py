@@ -840,7 +840,12 @@ class DetectionModel(nn.Module):
                     out = head(
                         xs, training,
                         branches="one2one" if serving else "both",
-                        split=serving,
+                        # training under the width-pack plan also splits: the
+                        # loss re-slices the 64++nc concat anyway, and the
+                        # packed box tower's output flattens straight into
+                        # the loss's (B, A, 64) view
+                        split=serving or (training and wpack_on),
+                        train_pack=training and wpack_on,
                     )
                     if training:
                         return out

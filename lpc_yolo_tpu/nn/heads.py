@@ -235,8 +235,12 @@ class V10Detect(nn.Module):
     (cv2/cv3, v8-style box tower + lightweight cls tower) and a structurally
     identical one-to-one branch fed with stop_gradient'ed neck features.
 
-    Returns {'one2many': tuple, 'one2one': tuple} of raw (B,H,W,64+nc) maps.
-    Predict-only callers can pass branches='one2one' to skip the o2m compute.
+    Returns {'one2many': tuple, 'one2one': tuple} of raw (B,H,W,64+nc) maps —
+    or, with split=True, tuples of per-level (box_map, cls_map) PAIRS: the
+    64++nc channel concat is pure layout traffic that the consumers (serving
+    decode, training loss) immediately re-split, so both fast paths skip it.
+    Predict-only callers can pass branches='one2one' to skip the o2m compute;
+    train_pack=True width-packs the training box towers (P2, 128 dense lanes).
     """
 
     nc: int = 80
@@ -247,7 +251,7 @@ class V10Detect(nn.Module):
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], training: bool = False, branches: str = "both",
-                 split: bool = False):
+                 split: bool = False, train_pack: bool = False):
         c2 = max(16, self.ch[0] // 4, self.reg_max * 4)
         c3 = max(self.ch[0], min(self.nc, 100))
 
@@ -256,8 +260,31 @@ class V10Detect(nn.Module):
 
             outs = []
             for i, x in enumerate(xs_in):
-                pack = 2 if (split and c2 < 128 and x.shape[2] % 2 == 0) else 1
-                if pack > 1:
+                pack = 2 if (split and not training and c2 < 128 and x.shape[2] % 2 == 0) else 1
+                tpack = 2 if (train_pack and training and c2 < 128 and x.shape[2] % 2 == 0) else 1
+                if tpack > 1:
+                    # training-path packing (same idea as the serving tower
+                    # below, but with live BN statistics): the c2=64 box-tower
+                    # maps read/reduce at half-empty 128-lane tiles — the
+                    # head's P3-level BN-stat/grad reduces alone were
+                    # ~2 ms/step at v10n b32 (xplane). ConvBN's packed
+                    # training path (packed_conv + PackedBN) keeps the exact
+                    # variable tree and flax BatchNorm numerics; the final
+                    # 1x1 runs packed on the raw (kernel, bias) pair. The
+                    # packed (B, H, W/2, 2*64) output flattens to the same
+                    # (B, A, 64) anchor order as the unpacked map (pack_width
+                    # is a row-major reshape), so the loss consumes it
+                    # directly — the packed region never unpacks.
+                    b = ConvBN(c2, 3, pack_in=1, pack_out=tpack, dtype=self.dtype,
+                               name=f"{pbox}_{i}_0")(x, training)
+                    b = ConvBN(c2, 3, pack_in=tpack, pack_out=tpack, dtype=self.dtype,
+                               name=f"{pbox}_{i}_1")(b, training)
+                    wf, bff = _ConvParams(
+                        (1, 1, c2, 4 * self.reg_max), _box_bias_init, name=f"{pbox}_{i}_2"
+                    )()
+                    b = packed_conv(b, wf.astype(self.dtype), 1, tpack, tpack,
+                                    b=bff.astype(self.dtype))
+                elif pack > 1:
                     # serving path: the box tower's c2=64 output maps waste
                     # half the lane tile; run the whole tower width-packed P2
                     # (128 lanes) through the final 1x1 — the decode gathers

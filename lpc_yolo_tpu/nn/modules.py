@@ -272,9 +272,18 @@ class PackedBN(nn.Module):
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((self.c,), jnp.float32))
         stat_dt = jnp.promote_types(y.dtype, jnp.float32)  # f32 floor, like flax
         if training:
-            xr = y.reshape(y.shape[:3] + (self.P, self.c)).astype(stat_dt)
-            mean = jnp.mean(xr, axis=(0, 1, 2, 3))
-            var = jnp.maximum(jnp.mean(xr * xr, axis=(0, 1, 2, 3)) - mean * mean, 0.0)
+            # lane-space statistics: reduce (B, H, W/P) on the PACKED layout
+            # straight to a (P*C,) lane vector (dense 128-lane tiled reads),
+            # then fold the P groups on the tiny (P, C) matrix. The previous
+            # 5-D reshape form forced XLA into {.,4,3,2,0}-layout
+            # intermediates whose fwd+bwd round-trip copies showed up as
+            # ~3 ms/step of layout copies at v10n b32 (xplane).
+            yl = y.astype(stat_dt)
+            n = y.shape[0] * y.shape[1] * y.shape[2] * self.P
+            s1 = jnp.sum(yl, axis=(0, 1, 2)).reshape(self.P, self.c)
+            s2 = jnp.sum(yl * yl, axis=(0, 1, 2)).reshape(self.P, self.c)
+            mean = jnp.sum(s1, axis=0) / n
+            var = jnp.maximum(jnp.sum(s2, axis=0) / n - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = BN_MOMENTUM * ra_mean.value + (1.0 - BN_MOMENTUM) * mean.astype(jnp.float32)
                 ra_var.value = BN_MOMENTUM * ra_var.value + (1.0 - BN_MOMENTUM) * var.astype(jnp.float32)

@@ -30,12 +30,26 @@ def test_train_pack_exact_f64():
 
         def mkloss(m, wpack):
             def loss(params, bs):
+                from lpc_yolo_tpu.nn.modules import unpack_width
+
                 xin = jnp.asarray(x.reshape(1, 32, 4, 24)) if wpack else jnp.asarray(x)
                 out, mut = m.apply(
                     {"params": params, "batch_stats": bs}, xin, training=True,
                     mutable=["batch_stats"], input_layout="WPACK" if wpack else "NHWC",
                 )
-                return sum(jnp.sum(jnp.abs(t)) for br in out.values() for t in br), mut
+                # the packed graph returns per-level (box, cls) PAIRS with a
+                # width-packed box map; normalize to the unpacked concat form
+                # so both losses sum identical structures in identical order
+                maps = []
+                for br in out.values():
+                    for t in br:
+                        if isinstance(t, tuple):
+                            bm, cm = t
+                            if bm.shape[2] != cm.shape[2]:
+                                bm = unpack_width(bm, cm.shape[2] // bm.shape[2])
+                            t = jnp.concatenate([bm, cm], axis=-1)
+                        maps.append(t)
+                return sum(jnp.sum(jnp.abs(t)) for t in maps), mut
 
             return loss
 

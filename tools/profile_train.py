@@ -50,8 +50,12 @@ def main():
     rng = np.random.RandomState(0)
     wh = rng.rand(batch, M, 2) * 200 + 8
     xy = rng.rand(batch, M, 2) * (imgsz - 260) + 10
+    img_u8 = (rng.rand(batch, imgsz, imgsz, 3) * 255).astype(np.uint8)
+    if pack:
+        # width-packed feed, as the Trainer ships it on TPU
+        img_u8 = img_u8.reshape(batch, imgsz, imgsz // 8, 24)
     batch_d = {
-        "img": jnp.asarray((rng.rand(batch, imgsz, imgsz, 3) * 255).astype(np.uint8)),
+        "img": jnp.asarray(img_u8),
         "cls": jnp.asarray(rng.randint(0, 80, (batch, M)).astype(np.int32)),
         "bboxes": jnp.asarray(np.concatenate([xy, xy + wh], -1).astype(np.float32)),
         "mask": jnp.asarray(np.ones((batch, M), bool)),
