@@ -95,7 +95,11 @@ def task_aligned_assigner(
     # lax.top_k + scatter: on TPU the (B, M, A) top_k lowers to a full
     # variadic sort (9 ms/step at b32) and the scatter serializes, while
     # argmax+one-hot are plain VPU reductions. Tie-handling is identical
-    # (lowest index wins, matching lax.top_k / torch.topk).
+    # (lowest index wins, matching lax.top_k / torch.topk). A segmented
+    # exact top-k (per-segment lax.top_k at S=16 + tiny merge, one metric
+    # read) was measured 4.4 ms/step SLOWER at v10n b32: top_k with indices
+    # lowers to a variadic (f32, s32) sort over the whole metric, which
+    # costs more than `topk` fused argmax re-reads.
     a_ix = jnp.arange(A)
     metric = align_metric
     mask_topk = jnp.zeros_like(align_metric, dtype=bool)

@@ -438,8 +438,11 @@ def _wpack_out(spec: LayerSpec, p_in: int, fold_s2d: bool = False,
     # a 4/3 kernel-expansion cost — lane_fill.py puts these sites at 8% of
     # v10l's FLOPs, and the packed-plain rewrite is linear in n, so the
     # n<=2 gate (an O(n^2) plain-rewrite artifact) doesn't apply. Kept off
-    # the train_pack plan: the training packed C2f is profiled only in the
-    # c2<128 regime.
+    # the train_pack plan — MEASURED ON-CHIP (round 4): extending it to
+    # training took v10n b32 from 715 to 686 img/s (+10% step GFLOPs): the
+    # training structure pays the packed 1x1 cv1/cv2 kernels' P-fold FLOP
+    # bloat in fwd AND both bwd passes, which outweighs the interiors' fill
+    # gain once BN folding isn't available to absorb it.
     n_blocks = spec.args[2] if len(spec.args) > 2 else 1
     if spec.c2 == 128 and deploy_graph:
         p_out = 2
