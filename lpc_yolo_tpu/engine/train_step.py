@@ -136,14 +136,33 @@ def make_train_step(
     """
 
     train_pack = bool(getattr(model, "train_pack", False))
+    stem_is_conv = bool(model.specs) and model.specs[0].module == "Conv"
 
     def loss_fn(params, batch_stats, batch, step=0):
         img = batch["img"]
         pre_packed = train_pack and img.ndim == 4 and img.shape[-1] == 24
         if img.dtype == jnp.uint8:
-            # uint8 BGR from the loader: normalize + BGR->RGB on device, matching
-            # the reference's Format transform (augment.py:876) + /255 preprocess.
-            if pre_packed:
+            # uint8 BGR from the loader: normalize + BGR->RGB, matching the
+            # reference's Format transform (augment.py:876) + /255 preprocess.
+            if train_pack and stem_is_conv:
+                # fold /255 + BGR->RGB into the STEM KERNEL at trace time:
+                # conv(flip(x)/255, W) == conv(x, flip(W)/255) exactly, and
+                # the transform is differentiable, so grads/optimizer/EMA
+                # still act on the stored kernel. The raw uint8 batch then
+                # feeds the conv after a bare dtype convert — xplane showed
+                # the activation-side normalize forcing a {1,2,3,0}->{0,3,2,1}
+                # relayout copy of the whole input (~1.0 ms/step at v10n
+                # b32) that the kernel-side fold avoids.
+                if not pre_packed and img.shape[2] % 8 == 0:
+                    b_, h_, w_, c_ = img.shape
+                    img = img.reshape(b_, h_, w_ // 8, 8 * c_)
+                    pre_packed = True
+                sk = params["model_0"]["conv"]["kernel"]
+                sk = sk[:, :, ::-1, :] / 255.0
+                params = dict(params)
+                params["model_0"] = dict(params["model_0"])
+                params["model_0"]["conv"] = {**params["model_0"]["conv"], "kernel": sk}
+            elif pre_packed:
                 # (B, H, W/8, 8*3) feed — same bytes as NHWC (free host
                 # reshape); the BGR->RGB flip happens within each 3-channel
                 # group. Feeding the packed shape lets XLA lay the entry

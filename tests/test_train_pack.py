@@ -65,6 +65,36 @@ def test_train_pack_exact_f64():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_stem_preproc_fold_matches_explicit_normalize():
+    """Under train_pack, the train step folds /255 + BGR->RGB into the stem
+    kernel (conv(flip(x)/255, W) == conv(x, flip(W)/255)): a uint8 batch must
+    produce the same loss as feeding the explicitly-normalized f32 image."""
+    from lpc_yolo_tpu.engine.train_step import OptConfig, init_train_state, make_train_step
+
+    model = build_model("tests/assets/tiny-v10.yaml", nc=3, dtype=jnp.float32, train_pack=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
+    cfg = OptConfig(total_steps=10, warmup_steps=2)
+    rng = np.random.RandomState(3)
+    img_u8 = (rng.rand(2, 64, 64, 3) * 255).astype(np.uint8)
+    gt = {
+        "cls": jnp.asarray(rng.randint(0, 3, (2, 4)).astype(np.int32)),
+        "bboxes": jnp.asarray((rng.rand(2, 4, 4) * 20 + 5).astype(np.float32)),
+        "mask": jnp.asarray(np.ones((2, 4), bool)),
+    }
+    gt["bboxes"] = gt["bboxes"].at[..., 2:].add(gt["bboxes"][..., :2])
+
+    losses = []
+    for img in (
+        jnp.asarray(img_u8),  # fold path
+        jnp.asarray(img_u8[..., ::-1].astype(np.float32) / 255.0),  # explicit
+    ):
+        state, tx = init_train_state(model, variables, cfg)
+        step = make_train_step(model, tx, cfg)
+        _, metrics = step(state, {"img": img, **gt})
+        losses.append(float(metrics["loss"]))
+    assert abs(losses[0] - losses[1]) / abs(losses[1]) < 1e-4, losses
+
+
 def test_train_pack_mesh_sharded_step():
     """train_pack composes with mesh data-parallelism: on a multi-chip TPU
     host the Trainer enables BOTH (clone(train_pack=True) + shard_batch), so
