@@ -109,9 +109,37 @@ def cost(step, state, batch_d):
     return float(c.get("flops", 0.0)), float(c.get("bytes accessed", 0.0))
 
 
+def classify(name, batch=32):
+    """Sharper step-budget attribution than xplane_stats.op_category: splits
+    the conv-fusion mass into kernel-grad vs activation work and pulls the
+    loss/assigner ops (anchor-count 8400 in an operand) into their own
+    bucket. Shape heuristics verified by eyeballing the top-40 events of a
+    v10n b32 trace (kernel-grad fusions write (k,k,Cin,Cout) outputs with
+    k<=7; activation convs/grads write (32,H,W,C))."""
+    import re
+
+    from xplane_stats import op_category
+
+    cat = op_category(name)
+    if cat in ("async-dma", "layout-copy", "small-vec reduces (BN stats/grads)"):
+        return cat
+    if "8400" in name:
+        return "loss/assigner"
+    m = re.match(r"%\S+ = \(?(?:f32|bf16|u8|s32|pred|f16)\[([\d,]*)\]", name)
+    s = [int(x) for x in m.group(1).split(",") if x] if m else None
+    if cat in ("conv", "fusion", "other"):
+        if s and len(s) == 4 and s[0] <= 7 and s[1] <= 8 and s[0] != batch:
+            return "conv kernel-grads"
+        if name.startswith(("%fusion", "(u8[")) and "bf16[3,3,1," in name:
+            return "conv kernel-grads"  # depthwise kernel-grad tuple outputs
+        if s and len(s) >= 4 and s[0] == batch:
+            return "conv/act fusions"
+    return cat
+
+
 def trace_buckets(step, state, batch_d):
     """-> {bucket: ms/step} from an xplane capture of TRACE_STEPS chained steps."""
-    from xplane_stats import op_category, op_times, pick_op_line
+    from xplane_stats import op_times, pick_op_line
 
     @jax.jit
     def run(state, batch):
@@ -133,7 +161,11 @@ def trace_buckets(step, state, batch_d):
     for (ln, name), (ps, _n) in times.items():
         if ln != line:
             continue
-        cat = op_category(name)
+        if name.startswith(("%while", "%conditional", "%call")):
+            # enclosing control-flow events span their whole body on the op
+            # line — counting them double-counts the entire step
+            continue
+        cat = classify(name, batch=int(batch_d["cls"].shape[0]))
         buckets[cat] = buckets.get(cat, 0.0) + ps / 1e9 / TRACE_STEPS
     return buckets
 
@@ -147,25 +179,28 @@ def main():
     buckets = trace_buckets(step, state, batch_d)
 
     mxu_floor_ms = flops / (PEAK_BF16_TFLOPS * 1e12) * 1e3
-    hbm_floor_ms = bytes_acc / (HBM_GBPS * 1e9) * 1e3
-    roofline_ms = max(mxu_floor_ms, hbm_floor_ms)
+    # NOTE: XLA's "bytes accessed" counts every fusion operand per-consumer,
+    # so it is an UPPER BOUND on true HBM traffic, not a floor — on this
+    # model the measured step beats the naive bytes/bandwidth time, proof
+    # that vmem residency/reuse across fusions is real. Report it as bound.
+    hbm_upper_ms = bytes_acc / (HBM_GBPS * 1e9) * 1e3
     out = {
         "scale": scale,
         "batch": batch,
         "measured_ms_per_step": round(ms, 2),
         "img_s": round(batch / ms * 1e3, 1),
         "gflops_per_step": round(flops / 1e9, 1),
-        "hbm_gb_per_step": round(bytes_acc / 1e9, 2),
+        "xla_bytes_accessed_gb": round(bytes_acc / 1e9, 2),
         "mxu_floor_ms": round(mxu_floor_ms, 2),
-        "hbm_floor_ms": round(hbm_floor_ms, 2),
-        "roofline_ms": round(roofline_ms, 2),
-        "x_of_roofline": round(ms / roofline_ms, 2),
+        "hbm_upper_bound_ms": round(hbm_upper_ms, 2),
+        "x_of_mxu_floor": round(ms / mxu_floor_ms, 2),
         "train_mfu_pct": round(100.0 * (flops / 1e9 / ms) / PEAK_BF16_TFLOPS, 1),
         "buckets_ms": {k: round(v, 2) for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])},
     }
     print(json.dumps(out), flush=True)
-    print(f"\n{scale} b{batch}: measured {ms:.1f} ms/step = {out['x_of_roofline']}x the "
-          f"roofline floor (MXU {mxu_floor_ms:.1f} ms, HBM {hbm_floor_ms:.1f} ms)", flush=True)
+    print(f"\n{scale} b{batch}: measured {ms:.1f} ms/step = {out['x_of_mxu_floor']}x the "
+          f"pure-MXU floor ({mxu_floor_ms:.1f} ms); XLA bytes-accessed upper bound "
+          f"{hbm_upper_ms:.1f} ms", flush=True)
     for k, v in out["buckets_ms"].items():
         print(f"  {v:7.2f} ms  {100 * v / ms:5.1f}%  {k}", flush=True)
 
