@@ -38,3 +38,19 @@ def test_docs_pages_exist_and_crosslink():
     idx = (DOCS / "index.md").read_text()
     for link in re.findall(r"\]\(([\w/.-]+\.md)\)", idx):
         assert (DOCS / link).is_file(), f"index.md links to missing {link}"
+
+
+def test_api_reference_generated():
+    """docs/api/ is the generated per-module API reference
+    (tools/gen_api_docs.py — the reference's docs/en/reference/ analog).
+    Checks the tree is present, non-stub, and the index's links resolve."""
+    api = DOCS / "api"
+    assert (api / "index.md").is_file(), "run tools/gen_api_docs.py"
+    pages = list(api.glob("*.md"))
+    assert len(pages) >= 40, f"API reference too small: {len(pages)} pages"
+    idx = (api / "index.md").read_text()
+    for link in re.findall(r"\]\(([\w/.-]+\.md)\)", idx):
+        assert (api / link).is_file(), f"api/index.md links to missing {link}"
+    # spot-check a core page carries real signatures + docstrings
+    core = (api / "engine-model.md").read_text()
+    assert "class `YOLO" in core and "YOLO.train" in core
