@@ -686,6 +686,8 @@ class DetectionModel(nn.Module):
     deploy: bool = False  # inference-only block rewrites (same variable tree)
     train_pack: bool = False  # width-pack the low-channel stages in TRAINING
     default_act: str = "silu"  # YAML `activation:` override for conv.py Convs
+    quant: str = ""  # "int8": deploy convs run on the int8 MXU path (nn/quant.py)
+    quant_scales: Tuple[float, ...] = ()  # calibrated per-site activation ranges
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -697,9 +699,16 @@ class DetectionModel(nn.Module):
                 # fold BN into conv kernels inline for every ConvBN in the graph
                 # (single fusible conv+bias+act chains; see modules.DEPLOY_MATH)
                 token = M.DEPLOY_MATH.set(True)
+                qtoken = (
+                    quant.DEPLOY_INT8.set(quant.QuantCtx(scales=self.quant_scales))
+                    if self.quant == "int8"
+                    else None
+                )
                 try:
                     return self._run(x, training, predict_only, text, input_layout, dn, upto)
                 finally:
+                    if qtoken is not None:
+                        quant.DEPLOY_INT8.reset(qtoken)
                     M.DEPLOY_MATH.reset(token)
             return self._run(x, training, predict_only, text, input_layout, dn, upto)
         finally:
@@ -808,6 +817,11 @@ class DetectionModel(nn.Module):
                 continue
 
             if spec.module in _HEADS:
+                # head towers stay bf16 under int8 quantization (accuracy
+                # headroom; <8% of serving FLOPs). suspend() is a no-op when
+                # no QuantCtx is active, and runs identically in the record
+                # and quantized traces so site keys stay aligned.
+                quant.suspend()
                 xs = [x if j == -1 else y[j] for j in spec.f]
                 if spec.module == "WorldDetect":
                     from .heads import WorldDetect as _WD

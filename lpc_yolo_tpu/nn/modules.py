@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .quant import q8_conv
+
 # Trace-time flag set by DetectionModel on the deploy inference path: every
 # ConvBN folds its BN into the kernel inline (W*f, b-mean*f) and runs
 # conv+bias+act as ONE bf16 chain. Without this, inference BN is a separate
@@ -120,19 +122,14 @@ class ConvBN(nn.Module):
                         x, W, 2 * self.s, self.pack_in, self.pack_out,
                         b=b, act=self.act, pl=pad[0], ph=pad,
                     )
-                y = jax.lax.conv_general_dilated(
-                    x, jax.lax.optimization_barrier(W), (2 * self.s, 2 * self.s),
-                    [pad, pad], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                y = q8_conv(x, W, (2 * self.s, 2 * self.s), [pad, pad])
                 return apply_act(y + b, self.act)
             if packed:
                 assert self.g == 1 and self.d == 1 and kh == kw
                 return packed_conv(x, W, self.s, self.pack_in, self.pack_out, b=b, act=self.act)
-            y = jax.lax.conv_general_dilated(
-                x, jax.lax.optimization_barrier(W), (self.s, self.s), [(ph, ph), (pw, pw)],
-                rhs_dilation=(self.d, self.d),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.g,
+            y = q8_conv(
+                x, W, (self.s, self.s), [(ph, ph), (pw, pw)],
+                groups=self.g, rhs_dilation=(self.d, self.d),
             )
             return apply_act(y + b, self.act)
         if self.pack_in > 1 or self.pack_out > 1:
@@ -392,10 +389,7 @@ class C2f(nn.Module):
             c1 = cs + skip.shape[-1]
             w, b = _FusedConvBN(c1, 2 * c, 1, name="cv1")()
             w = w.astype(self.dtype)
-            conv1 = lambda t, wk: jax.lax.conv_general_dilated(
-                t, jax.lax.optimization_barrier(wk), (1, 1), [(0, 0), (0, 0)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            conv1 = lambda t, wk: q8_conv(t, wk, (1, 1), [(0, 0), (0, 0)])
             a = conv1(x_small, w[:, :, :cs])
             a = jnp.repeat(jnp.repeat(a, 2, axis=1), 2, axis=2)
             y = mish(a + conv1(skip, w[:, :, cs:]) + b.astype(self.dtype))
@@ -426,12 +420,11 @@ class C2f(nn.Module):
         bots = [_BottleneckParams(c, name=f"m_{i}")() for i in range(self.n)]
 
         def conv(t, w, p=0):
-            # barrier: keep the kernel-algebra (pad/sum/concat of folded
-            # kernels) from fusing into the conv and recomputing per tile
-            return jax.lax.conv_general_dilated(
-                t, jax.lax.optimization_barrier(w.astype(dt)), (1, 1), [(p, p), (p, p)],
-                dimension_numbers=layout,
-            )
+            # q8_conv keeps the kernel-algebra (pad/sum/concat of folded
+            # kernels) behind an optimization_barrier so it is not recomputed
+            # per conv tile; under an active int8 QuantCtx the conv runs on
+            # the int8 MXU path with this site's calibrated input scale
+            return q8_conv(t, w.astype(dt), (1, 1), [(p, p), (p, p)])
 
         def pad_front(w):  # consume full y (2c ch), select the b half
             return jnp.concatenate([jnp.zeros_like(w[:, :, :c]), w], axis=2)
@@ -440,10 +433,7 @@ class C2f(nn.Module):
             # folded space_to_depth: cv1's 1x1 kernel becomes a 2x2 stride-2
             # conv on the pre-s2d map (s2d_fold_kernel) — the s2d layout op
             # never materializes
-            y = jax.lax.conv_general_dilated(
-                x, jax.lax.optimization_barrier(s2d_fold_kernel(w_cv1).astype(dt)),
-                (2, 2), [(0, 0), (0, 0)], dimension_numbers=layout,
-            )
+            y = q8_conv(x, s2d_fold_kernel(w_cv1).astype(dt), (2, 2), [(0, 0), (0, 0)])
             y = mish(y + b_cv1.astype(dt))
         else:
             y = mish(conv(x, w_cv1) + b_cv1.astype(dt))

@@ -38,11 +38,11 @@ def conv(x, w, acc):
     )
 
 
-def timed(step, x0, iters=20):
+def timed(step, x0, iters=50):
     f = jax.jit(lambda x: lax.fori_loop(0, iters, lambda i, x: step(x), x))
     f(x0).block_until_ready()  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         f(x0).block_until_ready()
         best = min(best, time.perf_counter() - t0)
