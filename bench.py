@@ -106,10 +106,19 @@ def _model_gflops(model, variables, batch, imgsz):
         return 0.0
 
 
-def bench_scale(scale, batch=32, imgsz=640, iters=48):
+def bench_scale(scale, batch=32, imgsz=640, iters=48, quant=""):
     from lpc_yolo_tpu.nn.fuse import fold_preprocess
 
     model, variables = _build(scale)
+    img_np = (np.random.RandomState(0).rand(batch, imgsz, imgsz // 8, 24) * 255).astype(np.uint8)
+    if quant == "int8":
+        # PTQ: record-pass calibration on a representative batch (same batch
+        # size as serving — the width-pack planner is batch-aware), then the
+        # eligible convs serve as int8 x int8 -> int32 on the MXU (nn/quant.py)
+        from lpc_yolo_tpu.nn.quant import calibrate_serving
+
+        scales = calibrate_serving(model, variables, [img_np])
+        model = model.clone(quant="int8", quant_scales=scales)
 
     def forward(variables, img_u8):
         # width-packed uint8 feed: (B, H, W/8, 8*3) is the same bytes as NHWC
@@ -119,21 +128,24 @@ def bench_scale(scale, batch=32, imgsz=640, iters=48):
         return model.apply(v, img_u8.astype(jnp.bfloat16), training=False,
                            predict_only=True, input_layout="WPACK")["det"]
 
-    img = jnp.asarray(
-        (np.random.RandomState(0).rand(batch, imgsz, imgsz // 8, 24) * 255).astype(np.uint8)
-    )
+    img = jnp.asarray(img_np)
     best, p50 = _bench_loop(forward, variables, img, iters)
     ips = batch * iters / best
     gflops = _model_gflops(model, variables, batch, imgsz)
     tflops = ips * gflops / batch / 1000.0 if gflops else 0.0
-    return {
+    row = {
         "img_s": round(ips, 1),
         "p50_ms_per_batch": round(p50, 3),
         "p50_ms_per_image": round(p50 / batch, 4),
         "gflops_fwd_batch": round(gflops, 1),
         "achieved_tflops": round(tflops, 1),
+        # MFU vs the bf16 MXU peak; int8 rows can legitimately exceed the
+        # bf16-relative figure (int8 peak is 2x = 394 TOPS on v5e)
         "mfu_pct": round(100.0 * tflops / PEAK_BF16_TFLOPS, 1) if tflops else 0.0,
     }
+    if quant:
+        row["quant"] = quant
+    return row
 
 
 def bench_raw_frame(scale="n", batch=32, imgsz=640, iters=16, frame_hw=(720, 1280)):
@@ -308,6 +320,15 @@ def main():
     # the fork's namesake model (SPD/SPCA/LPC/CBAM blocks; space_to_depth
     # stage boundaries fold into conv kernels on the serving graph)
     extras["lpc_tiny_b32"] = bench_scale("lpc", batch=batch)
+    # int8 PTQ serving rows (nn/quant.py; reference parity: exporter TRT/
+    # TFLite int8 calibration): the int8 MXU path is the lever for the
+    # bf16-lane-fill-bound x scale (probe: 1.65-1.83x on >=64ch 3x3s)
+    for qs in ("n", "m", "x"):
+        r = bench_scale(qs, batch=batch, quant="int8")
+        row = {**r}
+        if qs in BASELINES:
+            row["vs_baseline"] = round(r["img_s"] / BASELINES[qs], 3)
+        extras[f"yolov10{qs}_b32_int8"] = row
     # raw-720p-frame e2e per named scale (BASELINE "p50 end-to-end latency
     # tracked per config"): on-device Pallas letterbox included in the graph
     for rs in ("n", "s", "m"):

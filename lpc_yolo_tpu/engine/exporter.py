@@ -40,19 +40,53 @@ UNSUPPORTED = {
 }
 
 
+def _task_outputs(model) -> list:
+    """Output names the export artifact carries, by head type.
+
+    Task-complete export (reference engine/exporter.py:241-243 traces whatever
+    the head emits in export mode — a seg artifact carries mask coefficients +
+    protos, head.py:104-128 Segment returns (x, mc, p); pose carries kpts):
+      detect:   ["det"|"pred"]
+      segment:  ["pred", "mc", "proto"]
+      pose:     ["pred", "kpt"]
+      obb:      ["pred"]   (angle rides as the pred map's last column)
+      classify: ["probs"]
+    """
+    head = model.specs[-1].module if getattr(model, "specs", None) else ""
+    return {
+        "Segment": ["pred", "mc", "proto"],
+        "Pose": ["pred", "kpt"],
+        "Classify": ["probs"],
+    }.get(head, ["pred"])
+
+
 def _predict_fn(model, variables, max_det: int = 300) -> Callable:
-    """The exported computation: fp32 NHWC [B,H,W,3] in [0,1] -> (B, max_det, 6).
+    """The exported computation: fp32 NHWC [B,H,W,3] in [0,1] -> named outputs.
 
     Mirrors the reference's export trace (head.py:519-523: NMS-free fixed-size
-    decode with Detect.export semantics).
+    decode with Detect.export semantics; head.py:104-128 seg mc+proto). Returns
+    a dict of named arrays — single-output detect artifacts flatten to one
+    tensor at the format layer.
     """
     from ..ops.postprocess import v10_detections
 
+    names = _task_outputs(model)
+    head = model.specs[-1].module if getattr(model, "specs", None) else ""
+
     def fn(img):
         out = model.apply(variables, img, training=False, predict_only=True)
-        if "det" in out:
+        if "det" in out:  # v10 head: fused NMS-free decode in-graph
             return out["det"]
-        return v10_detections(out["pred"], max_det, model.nc)
+        if head == "OBB":
+            # rotated boxes need rotated NMS client-side: export the raw
+            # (B, A, 4+nc+1) map, angle as the last column
+            return out["pred"]
+        if names == ["pred"]:
+            return v10_detections(out["pred"], max_det, model.nc)
+        if len(names) == 1:
+            return out[names[0]]
+        # task-complete artifact (seg/pose): dict of named outputs
+        return {k: out[k] for k in names}
 
     return fn
 
@@ -119,23 +153,37 @@ def export_model(
             # target runtime accelerates bf16 on CPU). Params are stored f32
             # regardless of compute dtype, so an f32-compute clone applies
             # the same variable tree unchanged.
-            from ..nn.compiler import DetectionModel
+            # clone() preserves every field (reg_max, deploy, quant, ...)
+            # instead of reconstructing a subset
+            model = model.clone(dtype=jnp.float32)
 
-            model = DetectionModel(specs=model.specs, save=model.save, nc=model.nc,
-                                   strides=model.strides, default_act=model.default_act,
-                                   dtype=jnp.float32)
+        task_outs = _task_outputs(model)
 
         def client_fn(img_nchw):
             out = model.apply(variables, img_nchw, training=False, input_layout="NCHW")
             if decode_in_graph:
                 return v10_detections(out["pred"], max_det, model.nc)
-            return out["pred"]
+            if task_outs == ["pred"]:
+                return out["pred"]
+            # task-complete trace: seg carries (pred, mc, proto), pose
+            # (pred, kpt) — the reference traces whatever the head emits in
+            # export mode (head.py:104-128 Segment returns (x, mc, p))
+            return tuple(out[k] for k in task_outs)
 
+        out_names = ["det"] if decode_in_graph else task_outs
         out_desc = (
             f"det (B, {max_det}, 6) = [x1,y1,x2,y2,score,label] (in-graph NMS-free decode)"
             if decode_in_graph
-            else "pred (B, anchors, 4+nc) xyxy + sigmoid scores"
+            else {
+                "pred": "pred (B, anchors, 4+nc[+extras]) xyxy + sigmoid scores",
+                "mc": "mask coefficients (B, anchors, nm)",
+                "proto": "mask prototypes (B, Hp, Wp, nm) NHWC",
+                "kpt": "decoded keypoints (B, anchors, nk*3) letterbox px",
+                "probs": "softmax class probabilities (B, nc)",
+            }
         )
+        if isinstance(out_desc, dict):
+            out_desc = {k: out_desc[k] for k in out_names}
 
     if fmt == "onnx":
         # Input is fp32 NCHW in [0,1] (ONNX convention).
@@ -147,7 +195,7 @@ def export_model(
             (jax.ShapeDtypeStruct((batch, 3, imgsz, imgsz), jnp.float32),),
             str(path),
             input_names=["images"],
-            output_names=["det" if decode_in_graph else "pred"],
+            output_names=out_names,
             graph_name=stem,
         )
         (out_dir / f"{stem}.onnx.json").write_text(
@@ -156,6 +204,7 @@ def export_model(
                     "input": [batch, 3, imgsz, imgsz],
                     "input_layout": "NCHW fp32 [0,1]",
                     "output": out_desc,
+                    "outputs": out_names,
                     "nc": yolo.model.nc,
                 }
             )
@@ -178,11 +227,18 @@ def export_model(
                 "input": [batch, 3, imgsz, imgsz],
                 "input_layout": "NCHW fp32 [0,1]",
                 "output": out_desc,
+                "outputs": out_names,
                 "nc": yolo.model.nc,
                 "names": getattr(yolo, "names", None),
             },
         )
         return str(path)
+
+    # named output shapes (task-complete: seg adds mc/proto, pose adds kpt)
+    _shapes = jax.eval_shape(fn, jax.ShapeDtypeStruct(in_shape, jnp.float32))
+    if not isinstance(_shapes, dict):
+        _shapes = {_task_outputs(yolo.model)[0]: _shapes}
+    out_shapes = {k: list(v.shape) for k, v in _shapes.items()}
 
     if fmt == "stablehlo":
         from jax import export as jexport
@@ -191,7 +247,7 @@ def export_model(
         path = out_dir / f"{stem}.stablehlo"
         path.write_bytes(exp.serialize())
         (out_dir / f"{stem}.stablehlo.json").write_text(
-            json.dumps({"input": list(in_shape), "output": [batch, max_det, 6], "nc": yolo.model.nc})
+            json.dumps({"input": list(in_shape), "outputs": out_shapes, "nc": yolo.model.nc})
         )
         return str(path)
 
@@ -221,7 +277,7 @@ def export_model(
                     "inputs": [t.name for t in frozen.inputs],
                     "outputs": [t.name for t in frozen.outputs],
                     "input_shape": list(in_shape),
-                    "output_shape": [batch, max_det, 6],
+                    "output_shapes": out_shapes,
                     "nc": yolo.model.nc,
                 }
             )
@@ -241,7 +297,7 @@ def export_model(
             "inputs": {k: v.name for k, v in sig.inputs.items()},
             "outputs": {k: v.name for k, v in sig.outputs.items()},
             "input_shape": list(in_shape),
-            "output_shape": [batch, max_det, 6],
+            "output_shapes": out_shapes,
             "nc": yolo.model.nc,
         }
         (sm_path / "io_spec.json").write_text(json.dumps(spec, indent=1))
@@ -267,6 +323,11 @@ def export_model(
     blob = converter.convert()
     path = out_dir / (f"{stem}_int8.tflite" if fmt == "tflite-int8" else f"{stem}.tflite")
     path.write_bytes(blob)
+    # sidecar: named output shapes (TFLite mangles tensor names; AutoBackend
+    # maps the interpreter's outputs back to pred/mc/proto/kpt by shape)
+    (Path(str(path) + ".json")).write_text(
+        json.dumps({"input_shape": list(in_shape), "output_shapes": out_shapes, "nc": yolo.model.nc})
+    )
     return str(path)
 
 

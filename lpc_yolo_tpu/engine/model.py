@@ -275,6 +275,45 @@ class YOLO:
         self.variables = fuse_conv_bn(self.variables)
         return self
 
+    def quantize_int8(self, calib, imgsz: int = 640, batch: int = 8) -> "YOLO":
+        """Post-training int8 quantization of the deploy serving graph.
+
+        Runs the serving trace in record mode over `calib` (any
+        predict()-compatible source: image paths, dirs, ndarrays, ...) to
+        capture per-site activation ranges, then rebinds the model so every
+        subsequent predict()/val() serves eligible convs on the int8 MXU
+        path (2x bf16 peak on v5e). Same PTQ contract as the reference's
+        TFLite/TensorRT int8 calibration (reference engine/exporter.py:657-700
+        TRT int8, :845-880 TFLite representative-dataset int8), executed
+        natively on the TPU serving graph (nn/quant.py).
+
+        Calibrate with the SAME batch size you will serve at: the width-pack
+        planner is batch-aware.
+        """
+        import numpy as np
+
+        from ..nn.quant import calibrate_serving
+        from ..ops.letterbox import letterbox_image
+        from .predictor import load_source
+
+        frames = load_source(calib)
+        if not frames:
+            raise ValueError("int8 calibration needs at least one image")
+        batches = []
+        for i in range(0, len(frames), batch):
+            chunk = frames[i : i + batch]
+            arr = np.full((batch, imgsz, imgsz // 8, 24), 114, np.uint8)
+            for j, (_, im0) in enumerate(chunk):
+                lb, _, _ = letterbox_image(im0, (imgsz, imgsz))
+                arr[j] = lb.reshape(imgsz, imgsz // 8, 24)
+            batches.append(arr)
+        scales = calibrate_serving(self.model, self.variables, batches)
+        # deploy stays False on the facade model (training is unaffected:
+        # quant only activates on the deploy graph); Predictor/Validator
+        # clone with deploy=True and inherit the quant fields
+        self.model = self.model.clone(quant="int8", quant_scales=scales)
+        return self
+
     # -- callback hooks (reference Model.add_callback/clear_callback/
     #    reset_callbacks, engine/model.py:769-800); the Trainer merges these
     #    into its event bus --

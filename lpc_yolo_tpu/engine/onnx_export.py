@@ -563,13 +563,46 @@ def _conv(b, eqn, ins):
     p = eqn.params
     dn = p["dimension_numbers"]
     lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
-    if any(d != 1 for d in p["lhs_dilation"]):
-        raise NotImplementedError("ONNX export: transposed/dilated-input conv")
     n_spatial = len(lhs_spec) - 2
     x = ins[0]
     lhs_perm = _perm_to_nchw(lhs_spec)
     if lhs_perm != list(range(len(lhs_spec))):
         x = b.add1("Transpose", [x], perm=lhs_perm)
+    if any(d != 1 for d in p["lhs_dilation"]):
+        # transposed conv (lax.conv_transpose lowers to an lhs-dilated conv):
+        # materialize the zero-insertion explicitly — unsqueeze each spatial
+        # dim, pad the new axis to the dilation factor, flatten, trim the
+        # trailing zeros — then run a regular Conv. Exact lhs_dilation
+        # semantics; runs once per forward in the Proto head, so the extra
+        # reshape ops are free in practice.
+        in_shape = list(eqn.invars[0].aval.shape)
+        nchw_shape = [in_shape[i] for i in lhs_perm]
+        cur = nchw_shape[:2] + [nchw_shape[2 + i] for i in range(n_spatial)]
+        for i, d in enumerate(p["lhs_dilation"]):
+            if d == 1:
+                continue
+            axis = 2 + i
+            h = cur[axis]
+            # (..., H, ...) -> (..., H, 1, ...) -> pad -> (..., H, d, ...) -> (..., H*d, ...)
+            unsq = cur[:axis + 1] + [1] + cur[axis + 1:]
+            x = b.add1("Reshape", [x, b.i64(unsq, "unsq")])
+            rank = len(unsq)
+            pads = [0] * rank + [0] * rank
+            pads[rank + axis + 1] = d - 1  # end-pad the inserted axis
+            x = b.add1("Pad", [x, b.const(np.array(pads, np.int64), "pads"),
+                               b.const(np.zeros((), eqn.invars[0].aval.dtype), "zero")])
+            cur = cur[:axis] + [h * d] + cur[axis + 1:]
+            x = b.add1("Reshape", [x, b.i64(cur, "dil")])
+            # trim the (d-1) trailing zeros so the size is (H-1)*d + 1
+            starts = [0] * len(cur)
+            ends = list(cur)
+            ends[axis] = (h - 1) * d + 1
+            x = b.add1(
+                "Slice",
+                [x, b.const(np.array(starts, np.int64), "st"),
+                 b.const(np.array(ends, np.int64), "en")],
+            )
+            cur[axis] = (h - 1) * d + 1
     w = ins[1]
     rhs_perm = _perm_to_nchw(rhs_spec)  # -> (O, I, *spatial)
     if rhs_perm != list(range(len(rhs_spec))):

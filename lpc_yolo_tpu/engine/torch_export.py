@@ -288,8 +288,6 @@ def _conv(eqn, ins):
     F = torch.nn.functional
     p = eqn.params
     dn = p["dimension_numbers"]
-    if any(int(d) != 1 for d in p["lhs_dilation"]):
-        raise NotImplementedError("torchscript export: transposed/dilated-input conv")
     if int(p.get("batch_group_count", 1)) != 1:
         raise NotImplementedError("torchscript export: batch_group_count > 1")
     lhs_spec, rhs_spec, out_spec = dn.lhs_spec, dn.rhs_spec, dn.out_spec
@@ -297,6 +295,17 @@ def _conv(eqn, ins):
     if n_spatial != 2:
         raise NotImplementedError("torchscript export: only 2D convs")
     x = ins[0].permute(_perm_to_nchw(lhs_spec)).contiguous()
+    if any(int(d) != 1 for d in p["lhs_dilation"]):
+        # transposed conv (lax.conv_transpose lowers to an lhs-dilated conv):
+        # zero-insert between input elements, then run a regular conv — exact
+        # lhs_dilation semantics (Proto head upsample; runs once per forward)
+        dh, dw = [int(d) for d in p["lhs_dilation"]]
+        n_, c_, h_, w_ = x.shape
+        z = x.new_zeros((n_, c_, h_, dh, w_, dw))
+        z[:, :, :, 0, :, 0] = x
+        x = z.reshape(n_, c_, h_ * dh, w_ * dw)[
+            :, :, : (h_ - 1) * dh + 1, : (w_ - 1) * dw + 1
+        ].contiguous()
     w = ins[1].permute(_perm_to_nchw(rhs_spec)).contiguous()
     # XLA padding may be asymmetric; pad explicitly (F.pad is last-dim-first)
     (ph_lo, ph_hi), (pw_lo, pw_hi) = [(int(lo), int(hi)) for lo, hi in p["padding"]]

@@ -300,7 +300,10 @@ class Trainer:
                 keys += [k for k in ("masks", "keypoints", "rboxes") if k in batch]
                 host_batch = {k: batch[k] for k in keys}
                 img = host_batch["img"]
-                if model.train_pack and img.ndim == 4 and img.shape[2] % 8 == 0:
+                # C==3 gate matches train_step's packed-feed detection (last
+                # dim == 24); non-RGB inputs must ship unpacked or they'd be
+                # packed twice
+                if model.train_pack and img.ndim == 4 and img.shape[2] % 8 == 0 and img.shape[-1] == 3:
                     # ship the width-packed (B, H, W/8, 8*C) layout — the same
                     # bytes (free numpy reshape), but XLA lays the entry
                     # parameter out for the packed stem conv directly instead

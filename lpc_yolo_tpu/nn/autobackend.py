@@ -29,20 +29,44 @@ class AutoBackend:
         if suffix == ".stablehlo":
             from ..engine.exporter import load_stablehlo
 
-            self._fn = load_stablehlo(self.path)
+            call = load_stablehlo(self.path)
+
+            def fn(x):
+                out = call(np.asarray(x, np.float32))
+                if isinstance(out, dict):  # task-complete artifact (seg/pose)
+                    return {k: np.asarray(v) for k, v in out.items()} if len(out) > 1 \
+                        else np.asarray(next(iter(out.values())))
+                return np.asarray(out)
+
+            self._fn = fn
             self.kind = "stablehlo"
         elif suffix == ".tflite":
+            import json
+
             import tensorflow as tf
 
             self._interp = tf.lite.Interpreter(model_path=self.path)
             self._interp.allocate_tensors()
             self._in = self._interp.get_input_details()[0]
-            self._out = self._interp.get_output_details()[0]
+            self._outs = self._interp.get_output_details()
+            # name recovery for multi-output (seg/pose) artifacts: TFLite
+            # mangles tensor names, so the exporter sidecar maps by shape
+            sidecar = Path(self.path + ".json")
+            shape_to_name = {}
+            if sidecar.exists():
+                spec = json.loads(sidecar.read_text())
+                for k, shp in spec.get("output_shapes", {}).items():
+                    shape_to_name[tuple(shp)] = k
 
             def fn(x):
                 self._interp.set_tensor(self._in["index"], np.asarray(x, np.float32))
                 self._interp.invoke()
-                return self._interp.get_tensor(self._out["index"])
+                outs = [self._interp.get_tensor(d["index"]) for d in self._outs]
+                if len(outs) == 1:
+                    return outs[0]
+                named = {shape_to_name.get(tuple(o.shape), f"output_{i}"): o
+                         for i, o in enumerate(outs)}
+                return named
 
             self._fn = fn
             self.kind = "tflite"
@@ -60,6 +84,8 @@ class AutoBackend:
 
             def fn(x):
                 out = f(images=np.asarray(x, np.float32) if not hasattr(x, "numpy") else x)
+                if len(out) > 1:  # task-complete (seg/pose): named outputs
+                    return {k: v.numpy() for k, v in out.items()}
                 return list(out.values())[0].numpy()
 
             self._fn = fn
@@ -110,11 +136,16 @@ class AutoBackend:
 
             self._net = cv2.dnn.readNetFromONNX(self.path)
             sidecar = Path(self.path + ".json")
-            self._nc = json.loads(sidecar.read_text())["nc"] if sidecar.exists() else 80
+            spec = json.loads(sidecar.read_text()) if sidecar.exists() else {}
+            self._nc = spec.get("nc", 80)
+            out_names = spec.get("outputs") or []
             from ..ops.postprocess import v10_detections
 
             def fn(x):
                 self._net.setInput(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)), "images")
+                if len(out_names) > 1:  # task-complete (seg/pose) artifact
+                    outs = self._net.forward(out_names)
+                    return dict(zip(out_names, outs))
                 pred = self._net.forward()
                 if pred.shape[-1] == 6:  # decoded in-graph
                     return pred
@@ -134,15 +165,23 @@ class AutoBackend:
             self._mod = torch.jit.load(self.path, _extra_files=extra)
             self._mod.eval()
             try:
-                self._nc = json.loads(extra["config.txt"])["nc"]
-            except (ValueError, KeyError):
-                self._nc = 80
+                meta = json.loads(extra["config.txt"])
+            except ValueError:
+                meta = {}
+            self._nc = meta.get("nc", 80)
+            out_names = meta.get("outputs") or []
             from ..ops.postprocess import v10_detections
 
             def fn(x):
                 nchw = torch.from_numpy(np.transpose(np.asarray(x, np.float32), (0, 3, 1, 2)).copy())
                 with torch.no_grad():
-                    pred = self._mod(nchw).numpy()
+                    pred = self._mod(nchw)
+                if isinstance(pred, (tuple, list)):  # task-complete (seg/pose)
+                    names = out_names if len(out_names) == len(pred) else [
+                        f"output_{i}" for i in range(len(pred))
+                    ]
+                    return {k: p.numpy() for k, p in zip(names, pred)}
+                pred = pred.numpy()
                 if pred.shape[-1] == 6:  # decoded in-graph
                     return pred
                 return np.asarray(v10_detections(jnp.asarray(pred), 300, self._nc))
@@ -163,9 +202,16 @@ class AutoBackend:
         else:
             raise ValueError(f"unsupported weights '{weights}' (suffix {suffix})")
 
-    def forward(self, imgs: np.ndarray) -> np.ndarray:
-        """imgs: (B, H, W, 3) fp32 RGB in [0,1] -> (B, max_det, 6)."""
-        return np.asarray(self._fn(imgs))
+    def forward(self, imgs: np.ndarray):
+        """imgs: (B, H, W, 3) fp32 RGB in [0,1].
+
+        Detect artifacts return one (B, max_det, 6) array; task-complete
+        artifacts (seg/pose) return a dict of named arrays (pred/mc/proto or
+        pred/kpt) — the reference's AutoBackend likewise passes through
+        whatever the artifact emits (autobackend.py:421 forward).
+        """
+        out = self._fn(imgs)
+        return out if isinstance(out, dict) else np.asarray(out)
 
     __call__ = forward
 

@@ -27,6 +27,7 @@ import yaml
 from flax import linen as nn
 
 from . import modules as M
+from . import quant as quant_lib  # aliased: DetectionModel.quant is a field name
 from . import research as R
 from .transformer import RTDETRDecoder
 from .heads import (
@@ -700,7 +701,7 @@ class DetectionModel(nn.Module):
                 # (single fusible conv+bias+act chains; see modules.DEPLOY_MATH)
                 token = M.DEPLOY_MATH.set(True)
                 qtoken = (
-                    quant.DEPLOY_INT8.set(quant.QuantCtx(scales=self.quant_scales))
+                    quant_lib.DEPLOY_INT8.set(quant_lib.QuantCtx(scales=self.quant_scales))
                     if self.quant == "int8"
                     else None
                 )
@@ -708,7 +709,7 @@ class DetectionModel(nn.Module):
                     return self._run(x, training, predict_only, text, input_layout, dn, upto)
                 finally:
                     if qtoken is not None:
-                        quant.DEPLOY_INT8.reset(qtoken)
+                        quant_lib.DEPLOY_INT8.reset(qtoken)
                     M.DEPLOY_MATH.reset(token)
             return self._run(x, training, predict_only, text, input_layout, dn, upto)
         finally:
@@ -821,7 +822,7 @@ class DetectionModel(nn.Module):
                 # headroom; <8% of serving FLOPs). suspend() is a no-op when
                 # no QuantCtx is active, and runs identically in the record
                 # and quantized traces so site keys stay aligned.
-                quant.suspend()
+                quant_lib.suspend()
                 xs = [x if j == -1 else y[j] for j in spec.f]
                 if spec.module == "WorldDetect":
                     from .heads import WorldDetect as _WD
@@ -1043,12 +1044,17 @@ def build_model(
     dtype: Any = None,
     deploy: bool = False,
     train_pack: bool = False,
+    quant: str = "",
+    quant_scales: Tuple[float, ...] = (),
 ) -> DetectionModel:
     """Build a DetectionModel from a YAML path/dict, with strides resolved.
 
     deploy=True enables inference-only block rewrites (e.g. slice/concat-free
     C2f). The variable tree is identical to deploy=False, so variables from a
     training build load unchanged.
+
+    quant="int8" (deploy only) runs eligible convs on the int8 MXU path with
+    per-site activation scales from `quant_scales` (see nn/quant.calibrate_int8).
 
     dtype=None resolves by backend: bfloat16 compute on TPU (the MXU's native
     format — params stay float32, linen's param dtype is separate; the loss
@@ -1069,7 +1075,10 @@ def build_model(
     default_act = act_map.get(str(d.get("activation", "")).strip(), "silu")
     model = DetectionModel(specs=specs, save=save, nc=d["nc"], default_act=default_act, dtype=dtype)
     strides = _infer_strides(model, ch=ch)
+    if quant and not deploy:
+        raise ValueError("quant='int8' requires deploy=True (it quantizes the deploy graph)")
     return DetectionModel(
         specs=specs, save=save, nc=d["nc"], strides=strides, deploy=deploy,
         train_pack=train_pack, default_act=default_act, dtype=dtype,
+        quant=quant, quant_scales=tuple(quant_scales),
     )

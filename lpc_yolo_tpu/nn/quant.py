@@ -123,6 +123,50 @@ def q8_conv(x, W, strides, padding, *, groups: int = 1, rhs_dilation=(1, 1)):
     return (y32.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
 
 
+def calibrate_serving(model, variables, batches_u8, bgr: bool = True):
+    """Calibrate per-site activation scales against the WPACK uint8 serving
+    graph — the EXACT trace Predictor/Validator serve (fold_preprocess'd
+    variables, width-packed uint8 feed, predict_only). Site keys align with
+    the quantized serving pass by construction: both trace the same code.
+
+    Args:
+        model: a DetectionModel (any deploy/quant state; a clean deploy clone
+            is made internally).
+        batches_u8: list of (B, H, W/8, 24) uint8 arrays (letterboxed,
+            width-packed). Use the SAME batch size as serving: the width-pack
+            planner is batch-aware, and a different plan changes the site
+            sequence.
+
+    Returns per-site scales (tuple of floats) for build_model(quant="int8").
+    """
+    base = model.clone(deploy=True, quant="", quant_scales=())
+
+    @jax.jit
+    def _record(v, imgs_u8):
+        ctx = QuantCtx(record=True)
+        token = DEPLOY_INT8.set(ctx)
+        try:
+            if getattr(base, "specs", None) and base.specs[0].module == "Conv":
+                from .fuse import fold_preprocess
+
+                v = fold_preprocess(v, bgr=bgr)
+                x = imgs_u8.astype(base.dtype)
+            else:
+                from ..ops.letterbox import device_preprocess_wpack
+
+                x = device_preprocess_wpack(imgs_u8, bgr=bgr)
+            base.apply(v, x, training=False, predict_only=True, input_layout="WPACK")
+        finally:
+            DEPLOY_INT8.reset(token)
+        if not ctx.record:
+            raise ValueError("no quantizable conv sites found in the deploy graph")
+        return jnp.stack(ctx.record)
+
+    per_batch = [_record(variables, jnp.asarray(b)) for b in batches_u8]
+    ranges = jnp.max(jnp.stack(per_batch), axis=0)
+    return tuple(float(r) for r in ranges)
+
+
 def calibrate_int8(model, variables, batches, **apply_kwargs):
     """Run the deploy graph in record mode over `batches` (a list of input
     arrays shaped like the serving input) and return the per-site activation

@@ -84,6 +84,10 @@ class Heatmap:
 
     def _splat(self, x1, y1, x2, y2):
         h, w = self.acc.shape
+        # circle center/radius come from the UNCLIPPED box (reference derives
+        # them from the raw track box); only the accumulation window clips
+        cx, cy = (int(x1) + int(x2)) // 2, (int(y1) + int(y2)) // 2
+        r = min(int(x2) - int(x1), int(y2) - int(y1)) // 2
         x1, y1 = max(int(x1), 0), max(int(y1), 0)
         x2, y2 = min(int(x2), w), min(int(y2), h)
         if x2 <= x1 or y2 <= y1:
@@ -91,8 +95,6 @@ class Heatmap:
         if self.heat_shape == "rect":
             self.acc[y1:y2, x1:x2] += 2.0
             return
-        cx, cy = (x1 + x2) // 2, (y1 + y2) // 2
-        r = min(x2 - x1, y2 - y1) // 2
         ys, xs = np.ogrid[y1:y2, x1:x2]
         self.acc[y1:y2, x1:x2] += 2.0 * ((xs - cx) ** 2 + (ys - cy) ** 2 <= r * r)
 
@@ -119,12 +121,28 @@ class Heatmap:
                                               self.region[1]) < self.line_dist_thresh
             if hit:
                 self.counted_ids.add(tid)
-                # reference attribution: x1 left of centroid -> out, else in
-                if x1 < float(self.region[:, 0].mean()):
+                # reference attribution: x1 left of the region's AREA centroid
+                # (shapely Polygon.centroid, not the vertex mean — these differ
+                # for non-rectangular 4-point regions) -> out, else in
+                if x1 < self._centroid_x():
                     self.out_counts += 1
                 else:
                     self.in_counts += 1
         return self
+
+    def _centroid_x(self) -> float:
+        """x of the counting geometry's centroid: polygon area centroid for
+        4-point regions (shoelace), midpoint for 2-point lines."""
+        pts = self.region
+        if len(pts) == 2:
+            return float(pts[:, 0].mean())
+        x, y = pts[:, 0].astype(np.float64), pts[:, 1].astype(np.float64)
+        xn, yn = np.roll(x, -1), np.roll(y, -1)
+        cross = x * yn - xn * y
+        area = cross.sum() / 2.0
+        if abs(area) < 1e-9:  # degenerate polygon: fall back to vertex mean
+            return float(x.mean())
+        return float(((x + xn) * cross).sum() / (6.0 * area))
 
     def render(self, img: Optional[np.ndarray] = None, alpha: float = 0.5) -> np.ndarray:
         import cv2
