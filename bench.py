@@ -295,6 +295,26 @@ def bench_data_pipeline(imgsz=640, batch=32, n_batches=6, train_img_s=None):
         }
         if train_img_s:
             row["hosts_per_chip_at_train_rate"] = round(train_img_s / host_img_s, 2)
+        # mitigated: serve from the refreshing pre-augmented window
+        # (data/shard_cache.py — bounded-staleness batch echoing). The serve
+        # rate is a memcpy: the chip never waits on the host again; the echo
+        # factor says how often each augmented batch is reused at train rate.
+        from lpc_yolo_tpu.data.shard_cache import AugmentedCache
+
+        cache = AugmentedCache(loader, capacity=4, refresh=True)
+        cit = iter(cache)
+        next(cit)
+        t0 = time.perf_counter()
+        n_serve = n_batches * 40
+        for _ in range(n_serve):
+            next(cit)
+        dts = time.perf_counter() - t0
+        cache.stop()
+        cached_img_s = batch * n_serve / dts
+        row["cached_serve_img_s"] = round(cached_img_s, 1)
+        if train_img_s:
+            row["echo_factor_at_train_rate"] = round(train_img_s / host_img_s, 2)
+            row["mitigated"] = cached_img_s > 2 * train_img_s
         return row
     finally:
         shutil.rmtree(root, ignore_errors=True)

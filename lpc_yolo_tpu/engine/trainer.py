@@ -84,9 +84,13 @@ class Trainer:
         resume: bool = False,
         hyp: Optional[Dict] = None,
         cache: Any = False,  # False | 'ram' | 'disk' image cache (default.yaml 'cache')
+        cache_augmented: Any = False,  # False | True | int(capacity): serve from a
+        # refreshing RAM window of pre-augmented batches (data/shard_cache.py) —
+        # the host-starvation mitigation for hosts that can't feed the chip
         **_: Any,
     ):
         self.cache = cache
+        self.cache_augmented = cache_augmented
         self.yolo = yolo
         self.data = data
         self.epochs = epochs
@@ -282,12 +286,27 @@ class Trainer:
         except ValueError:  # not the main thread (e.g. demo/server embedding)
             old_handlers = {}
 
-        data_iter = iter(loader)
+        aug_cache = None
+        if self.cache_augmented:
+            from ..data.shard_cache import AugmentedCache
+
+            capacity = (
+                int(self.cache_augmented)
+                if not isinstance(self.cache_augmented, bool)
+                else min(steps_per_epoch, 16)
+            )
+            aug_cache = AugmentedCache(loader, capacity=capacity, seed=self.seed)
+            data_iter = iter(aug_cache)
+        else:
+            data_iter = iter(loader)
         for epoch in range(start_epoch, self.epochs):
             self.epoch = epoch
             self.callbacks.run("on_train_epoch_start", self)
             if epoch == self.epochs - self.close_mosaic:
                 transforms.close_mosaic()
+                if aug_cache is not None:
+                    # stale mosaic batches must not leak into the final epochs
+                    aug_cache.invalidate()
             t0 = time.time()
             mean_items = np.zeros(6)
             n_skipped = 0
@@ -383,6 +402,12 @@ class Trainer:
 
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
+        if aug_cache is not None:
+            aug_cache.stop()
+            print(
+                f"aug cache: echo factor {aug_cache.echo_factor():.2f} "
+                f"({aug_cache.refreshed} refreshed / {aug_cache.served} served)"
+            )
         self.callbacks.run("on_train_end", self)
         # final: load best into the facade (reference final_eval semantics)
         self.yolo.variables = {

@@ -752,7 +752,7 @@ class DetectionModel(nn.Module):
         up_pending: Dict[int, jnp.ndarray] = {}
         s2d_plan = (
             _s2d_fuse_plan(self.specs, self.save)
-            if (self.deploy and not training)
+            if ((self.deploy and not training) or (self.train_pack and training))
             else {}
         )
         s2d_sites = set(s2d_plan.values())
@@ -792,6 +792,11 @@ class DetectionModel(nn.Module):
                 if wpack_on
                 else None
             )
+            if plan is not None and fold and training:
+                # training s2d fold runs unpacked (the packed+s2d training
+                # conv path is not implemented; the fold alone removes the
+                # relayout, which dominates — see docs/tpu-design.md LPC)
+                plan = None
             if plan is None:
                 p_out = 0
                 if cur_pack > 1 and -1 in spec.f:

@@ -132,6 +132,29 @@ class ConvBN(nn.Module):
                 groups=self.g, rhs_dilation=(self.d, self.d),
             )
             return apply_act(y + b, self.act)
+        if self.s2d_in:
+            # TRAINING-graph space_to_depth fold (same variable tree as the
+            # unfolded graph): conv the PRE-s2d map with the rearranged RAW
+            # kernel (s2d_fold_kernel: kxk/4C -> 2kx2k/C at stride 2), then
+            # LIVE BatchNorm. The conv output is bit-identical to
+            # s2d -> conv, so BN statistics and gradients match the unfolded
+            # graph exactly while the s2d relayout (two big HBM round-trips
+            # per site, fwd + bwd) never materializes. Deploy serving uses
+            # the BN-folded version of the same rewrite above.
+            assert self.g == 1 and self.d == 1 and kh == kw and ph == kh // 2
+            cin4 = x.shape[-1] * 4
+            w = _Kernel((kh, kw, cin4, self.c2), name="conv")()
+            W2 = s2d_fold_kernel(w).astype(self.dtype)
+            pad = (2 * ph, 2 * kh - 2 - 2 * ph)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), W2, (2 * self.s, 2 * self.s), [pad, pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = nn.BatchNorm(
+                use_running_average=not training, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype, name="bn",
+            )(y)
+            return apply_act(y, self.act)
         if self.pack_in > 1 or self.pack_out > 1:
             # training-path width packing: the conv runs via packed_conv on
             # the RAW kernel (no BN fold — training needs live statistics),

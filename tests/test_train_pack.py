@@ -65,6 +65,59 @@ def test_train_pack_exact_f64():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 
 
+def test_train_s2d_fold_exact_f64():
+    """The training-graph space_to_depth fold (enabled by train_pack on
+    s2d-stage models like LPC) must be EXACT: conv(s2d(x), w) ==
+    conv(x, s2d_fold_kernel(w)) at stride 2, so loss, gradients, and BN
+    batch-stats match the unfolded graph (reference s2d: block.py:4063)."""
+    cfg = {
+        "nc": 3,
+        "backbone": [
+            [-1, 1, "Conv", [16, 3, 2]],
+            [-1, 1, "Conv", [16, 3, 1]],
+            [-1, 1, "space_to_depth", [1]],
+            [-1, 1, "C2f", [32, True]],
+            [-1, 1, "Conv", [32, 3, 1]],
+            [-1, 1, "space_to_depth", [1]],
+            [-1, 1, "Conv", [64, 1, 1]],
+        ],
+        "head": [[[-1], 1, "v10Detect", ["nc"]]],
+    }
+    with jax.enable_x64(True):
+        m0 = build_model(dict(cfg), nc=3, dtype=jnp.float64)
+        m1 = build_model(dict(cfg), nc=3, dtype=jnp.float64, train_pack=True)
+        variables = m0.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), training=True)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3))
+
+        def mkloss(m):
+            def loss(params, bs):
+                out, mut = m.apply(
+                    {"params": params, "batch_stats": bs}, x, training=True,
+                    mutable=["batch_stats"],
+                )
+                total = 0.0
+                for br in out.values():
+                    for t in br:
+                        if isinstance(t, tuple):
+                            total += sum(jnp.sum(jnp.abs(u)) for u in t)
+                        else:
+                            total += jnp.sum(jnp.abs(t))
+                return total, mut
+
+            return loss
+
+        p, bs = variables["params"], variables["batch_stats"]
+        (l0, mut0), g0 = jax.value_and_grad(mkloss(m0), has_aux=True)(p, bs)
+        (l1, mut1), g1 = jax.value_and_grad(mkloss(m1), has_aux=True)(p, bs)
+        assert abs(float(l0 - l1)) / abs(float(l0)) < 1e-12
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(float(np.abs(a).max()), 1e-6)
+            assert float(np.abs(a - b).max()) / scale < 1e-6
+        for a, b in zip(jax.tree.leaves(mut0["batch_stats"]), jax.tree.leaves(mut1["batch_stats"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
 def test_stem_preproc_fold_matches_explicit_normalize():
     """Under train_pack, the train step folds /255 + BGR->RGB into the stem
     kernel (conv(flip(x)/255, W) == conv(x, flip(W)/255)): a uint8 batch must
