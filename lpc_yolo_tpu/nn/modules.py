@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .quant import q8_conv
+from .quant import q8_concat_conv, q8_conv, q8_pool_concat_conv
 
 # Trace-time flag set by DetectionModel on the deploy inference path: every
 # ConvBN folds its BN into the kernel inline (W*f, b-mean*f) and runs
@@ -426,6 +426,13 @@ class C2f(nn.Module):
                     dtype=self.dtype, name=f"m_{i}",
                 )(ys[-1], training)
             )
+        if not training and DEPLOY_MATH.get():
+            # s8-domain concat: the wide (2+n)*c tail tensor is the dominant
+            # requantize cost on the >128-ch scales that serve through this
+            # naive path (the kernel-algebra rewrite is gated to C<=128)
+            w, b = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
+            out = q8_concat_conv([t.astype(self.dtype) for t in ys], w.astype(self.dtype))
+            return apply_act(out + b.astype(self.dtype), "mish")
         return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(
             jnp.concatenate(ys, axis=-1), training
         )
@@ -534,7 +541,6 @@ class C2f(nn.Module):
             m = m + t if self.shortcut else t
             ys.append(m)
 
-        y = jnp.concatenate(ys, axis=-1)
         n_pieces = 2 + self.n
         Wp = jnp.zeros((1, 1, n_pieces * P * c, P * self.c2), w_cv2.dtype)
         for q in range(n_pieces):
@@ -543,10 +549,9 @@ class C2f(nn.Module):
                     0, 0, (q * P + j) * c:(q * P + j + 1) * c,
                     j * self.c2:(j + 1) * self.c2,
                 ].set(w_cv2[0, 0, q * c:(q + 1) * c, :])
-        Wp = jax.lax.optimization_barrier(Wp.astype(dt))
-        out = jax.lax.conv_general_dilated(
-            y, Wp, (1, 1), [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC")
-        )
+        # q8_concat_conv barriers the scattered kernel and, under an active
+        # int8 QuantCtx, concats the packed pieces in the s8 domain
+        out = q8_concat_conv(ys, Wp.astype(dt))
         return mish(out + jnp.tile(b_cv2.astype(dt), P))
 
 
@@ -562,6 +567,13 @@ class SPPF(nn.Module):
     def __call__(self, x, training: bool = False):
         c_ = x.shape[-1] // 2
         x = ConvBN(c_, 1, 1, act="mish", dtype=self.dtype, name="cv1")(x, training)
+        if not training and DEPLOY_MATH.get():
+            # pool-commute tail: quantize commutes with max-pool exactly, so
+            # under int8 the pools and the 4c_ concat stay in the s8 domain
+            # (one quantize of cv1's output covers all four branches)
+            w, b = _FusedConvBN(4 * c_, self.c2, 1, name="cv2")()
+            y = q8_pool_concat_conv(x, w.astype(self.dtype), self.k)
+            return apply_act(y + b.astype(self.dtype), "mish")
         p = self.k // 2
         pool = lambda t: nn.max_pool(t, (self.k, self.k), strides=(1, 1), padding=[(p, p), (p, p)])
         y1 = pool(x)
@@ -646,6 +658,12 @@ class C2fCIB(nn.Module):
             ys.append(
                 CIB(c, self.shortcut, e=1.0, lk=self.lk, dtype=self.dtype, name=f"m_{i}")(ys[-1], training)
             )
+        if not training and DEPLOY_MATH.get():
+            # s8-domain concat tail (see C2f): C2fCIB carries the widest
+            # concats on the b/l/x scales (up to (2+n)*c at P4/P5)
+            w, b = _FusedConvBN((2 + self.n) * c, self.c2, 1, name="cv2")()
+            out = q8_concat_conv([t.astype(self.dtype) for t in ys], w.astype(self.dtype))
+            return apply_act(out + b.astype(self.dtype), "mish")
         return ConvBN(self.c2, 1, act="mish", dtype=self.dtype, name="cv2")(jnp.concatenate(ys, axis=-1), training)
 
 
@@ -1466,15 +1484,12 @@ def packed_conv_grouped_out(x, w, s: int, P_in: int, P_out: int, groups, b=None,
         for o in range(g)
     ]
     perm = jnp.asarray(_np.asarray(perm, _np.int32))
-    Wp = jax.lax.optimization_barrier(Wp[:, :, :, perm])
     wip = x.shape[2]
     wpo = wip * P_in // (s * P_out)
     padR = sp * (wpo - 1) + kwp - wip - padL
     assert padR >= 0, (kh, s, P_in, P_out, padR)
-    y = jax.lax.conv_general_dilated(
-        x, Wp, (s, sp), [ph, (padL, padR)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    # q8_conv barriers the kernel itself (quantized or not) — see packed_conv
+    y = q8_conv(x, Wp[:, :, :, perm], (s, sp), [ph, (padL, padR)])
     if b is not None:
         y = y + jnp.tile(b, P_out)[perm]
     if act is not None:
@@ -1489,19 +1504,18 @@ def packed_conv(x, w, s: int, P_in: int, P_out: int, b=None, act=None, pl=None, 
     kh = w.shape[0]
     ph = (kh // 2, kh // 2) if ph is None else ph
     Wp, sp, padL, kwp = pack_conv_kernel(w, P_in, P_out, s, pl=pl)
-    # materialize the scattered kernel ONCE: without the barrier XLA fuses the
-    # dynamic-update-slice chain into the conv fusion and recomputes the
-    # kernel construction per output tile (profiled: 2.2 ms for a 1x1 packed
-    # conv whose MXU+HBM cost is ~0.4 ms)
-    Wp = jax.lax.optimization_barrier(Wp)
     wip = x.shape[2]
     wpo = wip * P_in // (s * P_out)
     padR = sp * (wpo - 1) + kwp - wip - padL
     assert padR >= 0, f"packed_conv invariant violated: padR={padR} for k={kh},s={s},P_in={P_in},P_out={P_out}"
-    y = jax.lax.conv_general_dilated(
-        x, Wp, (s, sp), [ph, (padL, padR)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    # q8_conv barriers the kernel (quantized or not): the scattered kernel
+    # must materialize ONCE — without the barrier XLA fuses the dynamic-
+    # update-slice chain into the conv fusion and recomputes the kernel
+    # construction per output tile (profiled: 2.2 ms for a 1x1 packed conv
+    # whose MXU+HBM cost is ~0.4 ms). Packed convs are groups=1/dilation=1
+    # by construction, so they quantize under an active int8 QuantCtx too —
+    # the width-packed stages carry most of v10x's FLOPs.
+    y = q8_conv(x, Wp, (s, sp), [ph, (padL, padR)])
     if b is not None:
         y = y + jnp.tile(b, P_out)
     if act is not None:

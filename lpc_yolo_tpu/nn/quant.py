@@ -123,6 +123,116 @@ def q8_conv(x, W, strides, padding, *, groups: int = 1, rhs_dilation=(1, 1)):
     return (y32.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
 
 
+def _quantize_parts(parts, sx):
+    inv = 1.0 / sx
+    return [
+        jnp.clip(jnp.round(p.astype(jnp.float32) * inv), -127, 127).astype(jnp.int8)
+        for p in parts
+    ]
+
+
+def q8_concat_conv(parts, W, strides=(1, 1), padding=((0, 0), (0, 0))):
+    """concat(parts, -1) -> conv, with the concat in the s8 DOMAIN when an
+    int8 QuantCtx is active. One shared per-tensor scale covers every part
+    (the site records absmax over the whole concat), so each producer's
+    epilogue writes an s8 part (1 B/elem) and the wide bf16 concat tensor —
+    the dominant requantize cost in the CSP tails, xplane-profiled at ~3
+    ms/step on v10x b32 — never materializes. Exact fallback to
+    conv(concat(parts)) when quantization is off or the site is ineligible.
+    """
+    dims = ("NHWC", "HWIO", "NHWC")
+    ctx = DEPLOY_INT8.get()
+    if ctx is None or not _site_eligible(parts[0], W, 1, (1, 1)):
+        return jax.lax.conv_general_dilated(
+            jnp.concatenate(parts, axis=-1), jax.lax.optimization_barrier(W),
+            strides, padding, dimension_numbers=dims,
+        )
+    key = ctx.next_key()
+    if ctx.record is not None:
+        ctx.record.append(
+            jnp.max(jnp.stack([jnp.max(jnp.abs(p)) for p in parts])).astype(jnp.float32)
+        )
+        return jax.lax.conv_general_dilated(
+            jnp.concatenate(parts, axis=-1), jax.lax.optimization_barrier(W),
+            strides, padding, dimension_numbers=dims,
+        )
+    if ctx.scales is None or key >= len(ctx.scales):
+        raise ValueError(
+            f"int8 deploy graph needs calibrated scales for site {key} "
+            f"(got {0 if ctx.scales is None else len(ctx.scales)}); run "
+            "calibrate_int8() on representative batches first"
+        )
+    sx = max(float(ctx.scales[key]), 1e-12) / 127.0
+    x8 = jnp.concatenate(_quantize_parts(parts, sx), axis=-1)
+    Wf = W.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(Wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    W8 = jnp.round(Wf / sw).astype(jnp.int8)
+    y32 = jax.lax.conv_general_dilated(
+        x8, jax.lax.optimization_barrier(W8), strides, padding,
+        dimension_numbers=dims, preferred_element_type=jnp.int32,
+    )
+    return (y32.astype(jnp.float32) * (sx * sw)).astype(parts[0].dtype)
+
+
+def q8_pool_concat_conv(x, W, k: int, n_pools: int = 3):
+    """The SPPF tail — concat([x, pool(x), ..., pool^n(x)]) -> 1x1 conv —
+    with the POOLS AND CONCAT in the s8 domain when an int8 QuantCtx is
+    active. Quantization commutes with max-pool exactly (round/clip are
+    monotonic and pooling only selects elements), so one quantize of x
+    covers all branches, absmax(concat) == absmax(x) by the same argument,
+    and the chain's HBM traffic halves vs bf16 pools.
+    """
+    p = k // 2
+    ctx = DEPLOY_INT8.get()
+    dims = ("NHWC", "HWIO", "NHWC")
+
+    def pool(t, init):
+        return jax.lax.reduce_window(
+            t, init, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1),
+            [(0, 0), (p, p), (p, p), (0, 0)],
+        )
+
+    if ctx is None or not _site_eligible(x, W, 1, (1, 1)):
+        neg = jnp.array(-jnp.inf, x.dtype)
+        ys = [x]
+        for _ in range(n_pools):
+            ys.append(pool(ys[-1], neg))
+        return jax.lax.conv_general_dilated(
+            jnp.concatenate(ys, axis=-1), jax.lax.optimization_barrier(W),
+            (1, 1), [(0, 0), (0, 0)], dimension_numbers=dims,
+        )
+    key = ctx.next_key()
+    if ctx.record is not None:
+        ctx.record.append(jnp.max(jnp.abs(x)).astype(jnp.float32))
+        neg = jnp.array(-jnp.inf, x.dtype)
+        ys = [x]
+        for _ in range(n_pools):
+            ys.append(pool(ys[-1], neg))
+        return jax.lax.conv_general_dilated(
+            jnp.concatenate(ys, axis=-1), jax.lax.optimization_barrier(W),
+            (1, 1), [(0, 0), (0, 0)], dimension_numbers=dims,
+        )
+    if ctx.scales is None or key >= len(ctx.scales):
+        raise ValueError(
+            f"int8 deploy graph needs calibrated scales for site {key} "
+            f"(got {0 if ctx.scales is None else len(ctx.scales)})"
+        )
+    sx = max(float(ctx.scales[key]), 1e-12) / 127.0
+    (x8,) = _quantize_parts([x], sx)
+    ys = [x8]
+    for _ in range(n_pools):
+        ys.append(pool(ys[-1], jnp.array(-128, jnp.int8)))
+    Wf = W.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(Wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    W8 = jnp.round(Wf / sw).astype(jnp.int8)
+    y32 = jax.lax.conv_general_dilated(
+        jnp.concatenate(ys, axis=-1), jax.lax.optimization_barrier(W8),
+        (1, 1), [(0, 0), (0, 0)], dimension_numbers=dims,
+        preferred_element_type=jnp.int32,
+    )
+    return (y32.astype(jnp.float32) * (sx * sw)).astype(x.dtype)
+
+
 def calibrate_serving(model, variables, batches_u8, bgr: bool = True):
     """Calibrate per-site activation scales against the WPACK uint8 serving
     graph — the EXACT trace Predictor/Validator serve (fold_preprocess'd
