@@ -823,11 +823,16 @@ class DetectionModel(nn.Module):
                 continue
 
             if spec.module in _HEADS:
-                # head towers stay bf16 under int8 quantization (accuracy
-                # headroom; <8% of serving FLOPs). suspend() is a no-op when
-                # no QuantCtx is active, and runs identically in the record
-                # and quantized traces so site keys stay aligned.
-                quant_lib.suspend()
+                # non-v10 head towers stay bf16 under int8 quantization
+                # (accuracy headroom; <8% of serving FLOPs). v10Detect
+                # quantizes its tower INTERMEDIATES itself and keeps only
+                # the final DFL/logit projections bf16 (heads.py) — on x the
+                # towers are ~12% of FLOPs and were the largest bf16
+                # stragglers in the int8 xplane profile. suspend() is a
+                # no-op when no QuantCtx is active, and runs identically in
+                # the record and quantized traces so site keys stay aligned.
+                if spec.module != "v10Detect":
+                    quant_lib.suspend()
                 xs = [x if j == -1 else y[j] for j in spec.f]
                 if spec.module == "WorldDetect":
                     from .heads import WorldDetect as _WD

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.anchors import dfl_expectation, dist2bbox, make_anchors
+from . import quant
 from .modules import ConvBN, Proto, kaiming_uniform
 
 
@@ -299,8 +300,12 @@ class V10Detect(nn.Module):
                     wf, bff = _ConvParams(
                         (1, 1, c2, 4 * self.reg_max), _box_bias_init, name=f"{pbox}_{i}_2"
                     )()
-                    b = packed_conv(b, wf.astype(self.dtype), 1, pack, pack,
-                                    b=bff.astype(self.dtype))
+                    # final DFL projection stays bf16 under int8 PTQ: its
+                    # output IS the box distribution (accuracy-critical),
+                    # and at (1,1,c2,64) per slot it is latency-bound anyway
+                    with quant.suspended():
+                        b = packed_conv(b, wf.astype(self.dtype), 1, pack, pack,
+                                        b=bff.astype(self.dtype))
                 else:
                     b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_0")(x, training)
                     b = ConvBN(c2, 3, dtype=self.dtype, name=f"{pbox}_{i}_1")(b, training)

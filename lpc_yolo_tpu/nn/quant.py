@@ -71,6 +71,22 @@ def suspend() -> None:
         DEPLOY_INT8.set(None)
 
 
+class suspended:
+    """Scoped variant of suspend(): quantization is off inside the `with`
+    block and restored after. Lets the v10 head quantize its tower
+    intermediates while the final box/cls PROJECTIONS (the DFL and logit
+    layers — the accuracy-critical outputs) stay bf16. Runs identically in
+    the record and quantized traces, so site keys stay aligned."""
+
+    def __enter__(self):
+        self._tok = DEPLOY_INT8.set(None)
+        return self
+
+    def __exit__(self, *exc):
+        DEPLOY_INT8.reset(self._tok)
+        return False
+
+
 def _site_eligible(x, W, groups: int, rhs_dilation) -> bool:
     cin, cout = W.shape[-2], W.shape[-1]
     return (
