@@ -792,11 +792,10 @@ class DetectionModel(nn.Module):
                 if wpack_on
                 else None
             )
-            if plan is not None and fold and training:
-                # training s2d fold runs unpacked (the packed+s2d training
-                # conv path is not implemented; the fold alone removes the
-                # relayout, which dominates — see docs/tpu-design.md LPC)
-                plan = None
+            # fold sites run packed in training too: ConvBN/C2f-cv1 conv the
+            # PACKED pre-s2d map with the s2d-folded RAW kernel + PackedBN
+            # (exact; the pack<->unpack relayouts at the LPC fold boundaries
+            # were ~16% of the train step before this)
             if plan is None:
                 p_out = 0
                 if cur_pack > 1 and -1 in spec.f:

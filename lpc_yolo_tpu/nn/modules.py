@@ -132,7 +132,7 @@ class ConvBN(nn.Module):
                 groups=self.g, rhs_dilation=(self.d, self.d),
             )
             return apply_act(y + b, self.act)
-        if self.s2d_in:
+        if self.s2d_in and not (self.pack_in > 1 or self.pack_out > 1):
             # TRAINING-graph space_to_depth fold (same variable tree as the
             # unfolded graph): conv the PRE-s2d map with the rearranged RAW
             # kernel (s2d_fold_kernel: kxk/4C -> 2kx2k/C at stride 2), then
@@ -163,10 +163,25 @@ class ConvBN(nn.Module):
             # bn/{scale,bias,mean,var}), so checkpoints/EMA/fusion are
             # unaffected. Only 'same'-padded ungrouped square convs are
             # planned (compiler._wpack_out).
-            assert self.g == 1 and self.d == 1 and kh == kw and not self.s2d_in
-            cin = x.shape[-1] // self.pack_in
-            w = _Kernel((kh, kw, cin, self.c2), name="conv")().astype(self.dtype)
-            y = packed_conv(x.astype(self.dtype), w, self.s, self.pack_in, self.pack_out)
+            assert self.g == 1 and self.d == 1 and kh == kw
+            if self.s2d_in:
+                # packed TRAINING s2d fold: conv the PACKED pre-s2d map with
+                # the rearranged RAW kernel at 2x stride (exact, same as the
+                # unpacked fold above), then PackedBN for live statistics.
+                # Keeps the width-pack chain unbroken across the LPC stage
+                # boundaries — the pack<->unpack relayouts at the 4 fold
+                # sites were ~16% of the LPC train step (xplane, b32).
+                assert ph == kh // 2
+                cin4 = (x.shape[-1] // self.pack_in) * 4
+                w = _Kernel((kh, kw, cin4, self.c2), name="conv")()
+                W2 = s2d_fold_kernel(w).astype(self.dtype)
+                pad = (2 * ph, 2 * kh - 2 - 2 * ph)
+                y = packed_conv(x.astype(self.dtype), W2, 2 * self.s,
+                                self.pack_in, self.pack_out, pl=pad[0], ph=pad)
+            else:
+                cin = x.shape[-1] // self.pack_in
+                w = _Kernel((kh, kw, cin, self.c2), name="conv")().astype(self.dtype)
+                y = packed_conv(x.astype(self.dtype), w, self.s, self.pack_in, self.pack_out)
             y = PackedBN(self.c2, self.pack_out, dtype=self.dtype, name="bn")(y, training)
             return apply_act(y, self.act)
         x = nn.Conv(
@@ -385,7 +400,7 @@ class C2f(nn.Module):
             # which XLA lowers without relayout copies on the packed tiles.
             P = self.pack
             y = ConvBN(2 * c, 1, 1, act="mish", pack_in=self.pack_in, pack_out=P,
-                       dtype=self.dtype, name="cv1")(x, training)
+                       s2d_in=self.s2d_in, dtype=self.dtype, name="cv1")(x, training)
             B, H, Wp = y.shape[:3]
             yr = y.reshape(B, H, Wp, P, 2 * c)
             ys = [yr[..., :c].reshape(B, H, Wp, P * c), yr[..., c:].reshape(B, H, Wp, P * c)]
