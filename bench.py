@@ -156,8 +156,9 @@ def bench_raw_frame(scale="n", batch=32, imgsz=640, iters=16, frame_hw=(720, 128
     h0, w0 = frame_hw
 
     def forward(variables, frames_u8):
-        x = letterbox_batch_device(frames_u8, imgsz)  # (B, 640, 640, 3) f32 RGB [0,1]
-        x = x.astype(jnp.bfloat16).reshape(frames_u8.shape[0], imgsz, imgsz // 8, 24)
+        # (B, 640, 640, 3) bf16 RGB [0,1] — the kernel writes bf16 directly
+        x = letterbox_batch_device(frames_u8, imgsz, out_dtype=jnp.bfloat16)
+        x = x.reshape(frames_u8.shape[0], imgsz, imgsz // 8, 24)
         return model.apply(variables, x, training=False, predict_only=True,
                            input_layout="WPACK")["det"]
 
@@ -357,8 +358,13 @@ def main():
             **raw, "vs_baseline": round(raw["img_s"] / BASELINES[rs], 3)
         }
     # training table: full step (fwd+bwd+clip+update+EMA), every scale the
-    # serving table names + the fork's LPC model; n additionally at b64 (the
-    # n-scale is latency-bound at b32 — the b64 row shows the ceiling)
+    # serving table names + the fork's LPC model; n additionally at b64 —
+    # MEASURED SLOWER than b32 (680 vs ~736 img/s) and kept as the recorded
+    # negative: per-bucket xplane at both batches shows conv fusions
+    # amortize (1.39x time for 2x work) but BN stat reduces scale exactly 2x
+    # (bandwidth-proportional re-reads) and loss/assigner 2.8x (the (B,M,A)
+    # align-metric tensors pass vmem at b64), so batch scaling loses on the
+    # buckets that already dominate — see docs/tpu-design.md.
     for ts in ("n", "s", "m", "lpc"):
         extras[f"train_step_v10{ts}_b32_bf16" if ts != "lpc" else "train_step_lpc_b32_bf16"] = (
             bench_train_step(scale=ts, batch=batch)
