@@ -156,10 +156,16 @@ def bench_raw_frame(scale="n", batch=32, imgsz=640, iters=16, frame_hw=(720, 128
     h0, w0 = frame_hw
 
     def forward(variables, frames_u8):
-        # (B, 640, 640, 3) bf16 RGB [0,1] — the kernel writes bf16 directly
-        x = letterbox_batch_device(frames_u8, imgsz, out_dtype=jnp.bfloat16)
+        # (B, 640, 640, 3) uint8 RGB letterboxed frame — the kernel emits the
+        # cv2-equivalent u8 image, so the model side is the SAME uint8-WPACK
+        # graph as plain serving (stem folds /255 via fold_preprocess); the
+        # letterbox adds no dtype-cast or normalize pass downstream.
+        from lpc_yolo_tpu.nn.fuse import fold_preprocess
+
+        x = letterbox_batch_device(frames_u8, imgsz, out_dtype=jnp.uint8)
         x = x.reshape(frames_u8.shape[0], imgsz, imgsz // 8, 24)
-        return model.apply(variables, x, training=False, predict_only=True,
+        v = fold_preprocess(variables)
+        return model.apply(v, x.astype(jnp.bfloat16), training=False, predict_only=True,
                            input_layout="WPACK")["det"]
 
     frames = jnp.asarray(

@@ -72,18 +72,34 @@ def _letterbox_kernel(src_ref, ry_ref, rx_ref, pad_ref, out_ref):
 
     Channel-planar layout: the naive HWC block puts 3 in the lane dimension
     (TPU lanes are 128-wide) which tiles pathologically; planar (C, H, W)
-    keeps w0 in lanes. src plane: (1, h0, w0); ry tile: (TILE, h0);
-    rx: (w0, size); pad tile: (TILE, size); out plane tile: (1, TILE, size).
+    keeps w0 in lanes. src plane: (1, h0, w0) uint8 — the u8->f32 convert
+    happens in VMEM here, so the HBM-side transpose/relayout of the frame
+    moves 4x fewer bytes than the old f32-prepared source. ry tile:
+    (TILE, h0); rx: (w0, size); pad tile: (TILE, size); out plane tile:
+    (1, TILE, size) in out_ref's dtype (f32 or bf16; accumulation is always
+    f32 via preferred_element_type).
     """
     ry = ry_ref[:]
     rx = rx_ref[:]
-    pad = pad_ref[:] * PAD_VALUE
-    a = jnp.dot(ry, src_ref[0], preferred_element_type=jnp.float32)  # (TILE, w0)
-    b = jnp.dot(a, rx, preferred_element_type=jnp.float32)  # (TILE, size)
-    out_ref[0] = b * (1.0 / 255.0) + pad
+    # The dots run in ry/rx's dtype (f32, or bf16 at 2x the MXU rate with
+    # f32 accumulation — measured <=1 LSB vs the f32 kernel on 720p because
+    # u8 pixels are exact in bf16 and only the weights round). Mosaic has no
+    # direct u8->fp vector cast; widen through i32 (both legs lower fine).
+    src = src_ref[0].astype(jnp.int32).astype(jnp.float32).astype(ry.dtype)
+    a = jnp.dot(ry, src, preferred_element_type=jnp.float32)  # (TILE, w0)
+    b = jnp.dot(a.astype(ry.dtype), rx, preferred_element_type=jnp.float32)  # (TILE, size)
+    if out_ref.dtype == jnp.uint8:
+        # uint8 mode: emit the letterboxed FRAME (0..255, pad=114), not the
+        # normalized tensor — this is what the reference's cv2 letterbox
+        # produces, and it lets raw-frame serving feed the standard
+        # uint8-WPACK graph (the stem folds /255 into its kernel).
+        frame = jnp.clip(jnp.round(b + pad_ref[:] * 114.0), 0.0, 255.0)
+        out_ref[0] = frame.astype(jnp.int32).astype(jnp.uint8)  # f32->u8 via i32 (Mosaic)
+    else:
+        out_ref[0] = (b * (1.0 / 255.0) + pad_ref[:] * PAD_VALUE).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("size", "tile"))
+@functools.partial(jax.jit, static_argnames=("size", "tile", "out_dtype"))
 def letterbox_pallas(
     img_u8: jnp.ndarray,  # (h0, w0, 3) uint8 BGR
     ry: jnp.ndarray,  # (size, h0) f32
@@ -91,14 +107,23 @@ def letterbox_pallas(
     pad_mask: jnp.ndarray,  # (size, size) f32
     size: int = 640,
     tile: int = 128,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Letterboxed, normalized (size, size, 3) fp32 RGB image, fully on-device."""
+    """Letterboxed (size, size, 3) RGB image, fully on-device.
+
+    out_dtype=f32/bf16: normalized [0,1] (bf16 halves output traffic and
+    removes the downstream cast the serving graph would otherwise pay).
+    out_dtype=uint8: the 0..255 letterboxed frame itself (pad=114), i.e. what
+    the reference's cv2 LetterBox emits — feed it to the uint8-WPACK serving
+    graph and the stem's folded /255 finishes the preprocess for free.
+    Accumulation is f32 in every mode.
+    """
     h0, w0 = img_u8.shape[:2]
-    src = img_u8.astype(jnp.float32).transpose(2, 0, 1)[::-1]  # planar + BGR->RGB
+    src = img_u8.transpose(2, 0, 1)[::-1]  # planar + BGR->RGB, still uint8
     grid = (3, size // tile)
     out = pl.pallas_call(
         _letterbox_kernel,
-        out_shape=jax.ShapeDtypeStruct((3, size, size), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, size, size), out_dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
@@ -111,17 +136,32 @@ def letterbox_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * (size * h0 * w0 + size * size * w0),
-            bytes_accessed=h0 * w0 * 3 * 4 + size * size * 3 * 4,
+            bytes_accessed=h0 * w0 * 3 + size * size * 3 * np.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
     )(src, ry, rx, pad_mask)
     return out.transpose(1, 2, 0)  # back to HWC for the model
 
 
-def letterbox_batch_device(imgs_u8: jnp.ndarray, size: int = 640, scaleup: bool = True) -> jnp.ndarray:
+def letterbox_batch_device(
+    imgs_u8: jnp.ndarray,
+    size: int = 640,
+    scaleup: bool = True,
+    out_dtype=jnp.float32,
+    mxu_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
     """vmapped device letterbox for a batch of SAME-SHAPE BGR uint8 frames
-    (the video-stream case) -> (B, size, size, 3) fp32 RGB in [0,1]."""
+    (the video-stream case) -> (B, size, size, 3) RGB.
+
+    mxu_dtype=bf16 (default) runs the interpolation matmuls at the 2x bf16
+    MXU rate with f32 accumulation — <=1 LSB vs f32 (pixels are exact in
+    bf16; only the 2-tap weights round). Pass f32 for bit-level parity with
+    the single-image kernel's default.
+    """
     h0, w0 = int(imgs_u8.shape[1]), int(imgs_u8.shape[2])
     ry, rx, pad = build_letterbox_mats(h0, w0, size, scaleup)
-    ry, rx, pad = jnp.asarray(ry), jnp.asarray(rx), jnp.asarray(pad)
-    return jax.vmap(lambda im: letterbox_pallas(im, ry, rx, pad, size=size))(imgs_u8)
+    ry, rx = jnp.asarray(ry, mxu_dtype), jnp.asarray(rx, mxu_dtype)
+    pad = jnp.asarray(pad)
+    return jax.vmap(lambda im: letterbox_pallas(im, ry, rx, pad, size=size, out_dtype=out_dtype))(
+        imgs_u8
+    )
