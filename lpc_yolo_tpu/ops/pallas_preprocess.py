@@ -148,15 +148,16 @@ def letterbox_batch_device(
     size: int = 640,
     scaleup: bool = True,
     out_dtype=jnp.float32,
-    mxu_dtype=jnp.bfloat16,
+    mxu_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """vmapped device letterbox for a batch of SAME-SHAPE BGR uint8 frames
     (the video-stream case) -> (B, size, size, 3) RGB.
 
-    mxu_dtype=bf16 (default) runs the interpolation matmuls at the 2x bf16
-    MXU rate with f32 accumulation — <=1 LSB vs f32 (pixels are exact in
-    bf16; only the 2-tap weights round). Pass f32 for bit-level parity with
-    the single-image kernel's default.
+    mxu_dtype=bf16 runs the interpolation matmuls at the 2x bf16 MXU rate
+    with f32 accumulation (<=1 LSB vs f32: pixels are exact in bf16, only
+    the 2-tap weights round) — but measured on-chip the kernel is NOT
+    MXU-rate-bound at these shapes (f32 2.20 vs bf16 2.40 ms/batch at
+    720p->640 b32, tools/raw720_probe.py), so f32 stays the default.
     """
     h0, w0 = int(imgs_u8.shape[1]), int(imgs_u8.shape[2])
     ry, rx, pad = build_letterbox_mats(h0, w0, size, scaleup)

@@ -33,19 +33,29 @@ def main():
     ry_np, rx_np, pad_np = build_letterbox_mats(h0, w0, size)
     pad = jnp.asarray(pad_np)
 
+    ITERS = 24
     for dt_name, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
         ry, rx = jnp.asarray(ry_np, dt), jnp.asarray(rx_np, dt)
         for tile in (128, 320, 640):
 
             @jax.jit
             def run(frames):
-                lb = jax.vmap(
-                    lambda im: letterbox_pallas(
-                        im, ry, rx, pad, size=size, tile=tile, out_dtype=jnp.uint8
-                    )
-                )(frames)
-                # depend on every output byte without leaving the device
-                return jnp.sum(lb.astype(jnp.int32))
+                # in-graph dependent loop — per-call dispatch over the tunnel
+                # costs ~25 ms, far more than the kernel itself (bench.py
+                # methodology note)
+                def body(i, carry):
+                    fr, acc = carry
+                    lb = jax.vmap(
+                        lambda im: letterbox_pallas(
+                            im, ry, rx, pad, size=size, tile=tile, out_dtype=jnp.uint8
+                        )
+                    )(fr)
+                    s = jnp.sum(lb[:, 0].astype(jnp.int32))
+                    bump = (s > jnp.int32(2**30)).astype(fr.dtype)
+                    return fr + bump, acc + s
+
+                _, acc = jax.lax.fori_loop(0, ITERS, body, (frames, jnp.int32(0)))
+                return acc
 
             try:
                 int(run(frames))  # compile + warm
@@ -54,7 +64,7 @@ def main():
                     t0 = time.perf_counter()
                     int(run(frames))
                     times.append(time.perf_counter() - t0)
-                ms = min(times) * 1e3
+                ms = min(times) / ITERS * 1e3
                 print(
                     json.dumps(
                         {"mxu_dtype": dt_name, "tile": tile, "ms_per_batch": round(ms, 3)}
