@@ -64,10 +64,14 @@ def test_cache_invalidate_refills(ds):
 
 def test_trainer_with_cache_augmented(ds, tmp_path):
     """End-to-end: 2-epoch train served from the cache; finite losses and
-    the echo telemetry printed at the end."""
+    the echo telemetry printed at the end. Uses the tiny test model — the
+    full v10n's XLA:CPU train-step compile alone cost ~10 min of suite
+    wall-clock here, and the cache path under test is model-agnostic."""
+    from pathlib import Path
+
     from lpc_yolo_tpu import YOLO
 
-    yolo = YOLO("yolov10n.yaml", nc=3)
+    yolo = YOLO(Path(__file__).resolve().parent / "assets" / "tiny-v10.yaml", nc=3)
     res = yolo.train(
         data=str(ds), epochs=2, batch=4, imgsz=96, val=False, save=False,
         workers=2, cache_augmented=2, close_mosaic=1, save_dir=str(tmp_path),
