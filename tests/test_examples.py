@@ -61,6 +61,32 @@ def test_opencv_onnx_client_end_to_end(tmp_path):
         assert 0 <= d["cls"] < 3
 
 
+def test_segmentation_onnx_client_end_to_end(tmp_path):
+    """The seg client consumes the task-complete ONNX artifact (pred+mc+proto
+    — reference examples/YOLOv8-Segmentation-ONNXRuntime-Python) and returns
+    per-instance boxes + full-resolution boolean masks."""
+    cv2 = pytest.importorskip("cv2")  # noqa: F841
+    from lpc_yolo_tpu import YOLO
+    from lpc_yolo_tpu.engine.exporter import export_model
+
+    client = _load("segmentation-onnx-python/main.py", "example_seg_client")
+    yolo = YOLO("yolov8n-seg.yaml", nc=3)
+    path = export_model(yolo, fmt="onnx", imgsz=64, out_dir=tmp_path)
+    img = (np.random.RandomState(0).rand(80, 60, 3) * 255).astype(np.uint8)
+    dets = client.segment(path, img, conf=0.0, iou=0.45, imgsz=64)
+    assert len(dets) > 0
+    h, w = img.shape[:2]
+    for d in dets:
+        x1, y1, x2, y2 = d["box"]
+        assert 0 <= x1 <= w and 0 <= x2 <= w and 0 <= y1 <= h and 0 <= y2 <= h
+        assert d["mask"].shape == (h, w) and d["mask"].dtype == bool
+        # mask pixels (if any) concentrate inside the (slightly padded) box
+        ys, xs = np.nonzero(d["mask"])
+        if len(ys):
+            assert xs.min() >= x1 - 2 and xs.max() <= x2 + 2
+            assert ys.min() >= y1 - 2 and ys.max() <= y2 + 2
+
+
 def test_onnx_client_nms_matches_greedy_semantics():
     client = _load("opencv-onnx-python/main.py", "example_onnx_client")
     boxes = np.array(
