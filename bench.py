@@ -318,7 +318,13 @@ def bench_data_pipeline(imgsz=640, batch=32, n_batches=6, train_img_s=None):
         dts = time.perf_counter() - t0
         cache.stop()
         cached_img_s = batch * n_serve / dts
-        row["cached_serve_img_s"] = round(cached_img_s, 1)
+        # the cache serves existing arrays (a pointer handoff), so the raw
+        # rate is physically meaningless past "far above any chip rate" —
+        # the end-to-end evidence is tools/train_e2e_probe.py: input_wait_frac
+        # 0.31 unmitigated -> 0.00 with cache_augmented=True on this host
+        row["cached_serve"] = (
+            f">{int(min(cached_img_s, 1e6))} img/s (RAM window handoff)"
+        )
         if train_img_s:
             row["echo_factor_at_train_rate"] = round(train_img_s / host_img_s, 2)
             row["mitigated"] = cached_img_s > 2 * train_img_s
