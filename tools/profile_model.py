@@ -39,11 +39,12 @@ def main():
     from lpc_yolo_tpu.nn.fuse import fold_preprocess, fuse_conv_bn
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    model = build_model(
-        os.path.join(root, f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"),
-        dtype=jnp.bfloat16,
-        deploy=True,
+    cfg = (
+        "lpc_yolo_tpu/cfg/models/v10/yolov10-SPD-Conv-Tiny-CBAM-LPC.yaml"
+        if scale == "lpc"
+        else f"lpc_yolo_tpu/cfg/models/v10/yolov10{scale}.yaml"
     )
+    model = build_model(os.path.join(root, cfg), dtype=jnp.bfloat16, deploy=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=True)
     variables = fuse_conv_bn(variables)
 
