@@ -80,9 +80,26 @@ def main():
     fn, args = ge.entry()
     jax.jit(fn).lower(*args).compile()
 
-    # 4. 2-device sharded train step
+    # 4. 2-device sharded train step. The mesh dryrun needs virtual CPU
+    # devices; in --tpu mode the backend is already the (single) real chip,
+    # so run it in a fresh CPU-platform subprocess instead of in-process.
     step("dryrun_multichip(2)")
-    ge.dryrun_multichip(2)
+    if USE_TPU:
+        import subprocess
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=2 --xla_backend_optimization_level=0"
+        )
+        subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__ as ge; ge.dryrun_multichip(2)"],
+            cwd=ROOT, env=env, check=True, timeout=900,
+        )
+    else:
+        ge.dryrun_multichip(2)
 
     step("ALL GREEN")
 
